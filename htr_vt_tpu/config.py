@@ -1,0 +1,300 @@
+"""Typed configuration system.
+
+Replaces the reference's two generations of ``option.py`` argparse trees
+(reference: ``model_v1/utils/option.py``, ``data/utils/option.py:100-148``)
+with frozen dataclasses plus dataset presets (IAM / READ2016 / LAM) and a CLI
+bridge that accepts the reference's flag spellings.
+
+Every reference variant directory becomes a named preset over these configs —
+see ``htr_vt_tpu.registry`` for the variant -> config mapping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Masking (span / random / block / MMS) — reference:
+#   model_v1/model/HTR_VT.py:202-220 (span)
+#   model_sgm_mms_attach/model/HTR_VT.py:222-343 (random/block/span_old/mms)
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class MaskConfig:
+    mode: str = "span"  # span | random | block | span_old | mms | none
+    ratio: float = 0.3
+    max_span_length: int = 4
+    # MMS-union sub-ratios (random / block / span components of the union).
+    mms_random_ratio: float = 0.3
+    mms_block_ratio: float = 0.2
+    mms_span_ratio: float = 0.2
+    # Minimum gap between consecutive spans for the spacing-constrained span
+    # strategy (reference spacing policy in the MMS span generator).
+    span_spacing: int = 0
+
+
+@dataclass(frozen=True)
+class SGMConfig:
+    """Semantic Guidance Module auxiliary loss (reference: model_sgm_2/model/sgm_head.py)."""
+
+    enable: bool = False
+    detach_features: bool = False  # attach vs detach variant (train.py:67 in mms_attach/detach)
+    sgm_lambda: float = 1.0
+    ctc_lambda: float = 0.1
+    sub_len: int = 5  # context length S on each side
+    warmup_iters: int = 0
+    char_emb_dim: int = 256
+    num_heads: int = 4
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    # Encoder family, resolved through htr_vt_tpu.registry:
+    #   vit (model_v1) | window (model_window) | macaron | localglobal | lgp |
+    #   conformer | squeezeformer | swin | svtr | van | van2
+    encoder: str = "vit"
+    nb_cls: int = 80
+    img_size: Tuple[int, int] = (64, 512)  # (H, W)
+    patch_size: Tuple[int, int] = (4, 64)  # (w_stride, h_stride) as in reference create_model
+    embed_dim: int = 768
+    depth: int = 4
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layer_norm_eps: float = 1e-6
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    # Windowed attention (model_window/model/HTR_VT.py:114-154): 1-D windows on
+    # the first `num_window_blocks` blocks, shifted on odd blocks.
+    window_size: int = 16
+    num_window_blocks: int = 2
+    use_abs_pos_embed: bool = True  # model_window drops the absolute PE
+    logit_layer_norm: bool = True   # parameterless LN over logits (model_v1/model/HTR_VT.py:239)
+    input_layer_norm: bool = True   # parameterless LN over the raw image (:224)
+    # Macaron conv-mixer blocks before the ViT stack (model_sgm_macaron).
+    num_macaron_blocks: int = 2
+    macaron_kernel: int = 7
+    # Local-global variants.
+    local_window: int = 12
+    global_pool_len: int = 64
+    # Conformer / SqueezeFormer.
+    conv_kernel: int = 7
+    # SVTR preset name (tiny/small/base) when encoder == "svtr".
+    svtr_preset: str = "tiny"
+    # Computation dtype for matmuls ("bfloat16" for TPU speed, "float32" for parity tests).
+    compute_dtype: str = "bfloat16"
+    masking: MaskConfig = field(default_factory=MaskConfig)
+    sgm: SGMConfig = field(default_factory=SGMConfig)
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        # Reference: MaskedAutoencoderViT.__init__ grid over (W/pw, H/ph) given
+        # img_size passed reversed ([H,W]) and patch (4,64):
+        # grid = [64//4, 512//64] = [16, 8] -> 128 tokens.
+        h, w = self.img_size
+        pw, ph = self.patch_size
+        return (h // pw, w // ph)
+
+    @property
+    def num_tokens(self) -> int:
+        gh, gw = self.grid_size
+        return gh * gw
+
+
+# ---------------------------------------------------------------------------
+# Optimization — reference: model_v1/train.py:94 (SAM(AdamW)),
+# utils/utils.py:42-52 (warmup-cosine), utils/utils.py:128-173 (EMA).
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class OptimConfig:
+    max_lr: float = 1e-3
+    min_lr: float = 1e-7
+    warmup_iters: int = 1000
+    total_iters: int = 100_000
+    weight_decay: float = 0.5
+    beta1: float = 0.9
+    beta2: float = 0.99
+    eps: float = 1e-8
+    sam_rho: float = 0.05
+    sam_adaptive: bool = False
+    ema_decay: float = 0.9999
+    # Reference EMA is updated with num_updates = nb_iter / 2 because SAM does
+    # two passes per iteration (model_v1/train.py:128).
+    ema_halved_updates: bool = True
+    grad_clip_norm: float = 0.0  # 0 disables (reference does not clip)
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Host-side augmentation parameters (reference: model_v1/utils/option.py:33-65,
+    applied batch-level in data/dataset.py:13-45)."""
+
+    enable: bool = True
+    proj: float = 8.0
+    dila_ero_max_kernel: int = 3
+    dila_ero_iter: int = 1
+    jitter_brightness: float = 0.4
+    jitter_contrast: float = 0.4
+    jitter_saturation: float = 0.4
+    jitter_hue: float = 0.2
+    proba: float = 0.5
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "IAM"  # IAM | READ | LAM | SYNTH
+    train_list: str = "./data/iam/train.ln"
+    val_list: str = "./data/iam/val.ln"
+    test_list: str = "./data/iam/test.ln"
+    data_path: str = "./data/iam/lines/"
+    img_size: Tuple[int, int] = (64, 512)  # (H, W)
+    train_bs: int = 128
+    val_bs: int = 8
+    num_workers: int = 8
+    # Force the fork's enumerated ASCII+Vietnamese alphabet instead of the
+    # data-derived one (reference: model_v1/data/dataset.py:60-81; the
+    # mms_detach variant reverts to data-derived).
+    vietnamese_charset: bool = False
+    max_label_len: Optional[int] = None
+    # Synthetic dataset knobs (for tests/bench when no real data is mounted).
+    synth_train_size: int = 512
+    synth_eval_size: int = 64
+    synth_alphabet: str = "abcdefghijklmnopqrstuvwxyz '"
+    synth_seed: int = 0
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh layout. The reference is single-GPU (SURVEY §2.8); here data
+    parallelism over ICI is first-class and additional axes are available for
+    the dry-run multi-chip path."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # mesh_shape: None -> (num_devices,) pure DP.
+    mesh_shape: Optional[Tuple[int, ...]] = None
+    sync_batch_norm: bool = True  # cross-replica BN stats under DP
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    out_dir: str = "./output"
+    exp_name: str = "iam_htr_vt_tpu"
+    seed: int = 123
+    total_iters: int = 100_000
+    eval_iters: int = 1000
+    print_iters: int = 100
+    resume: Optional[str] = None
+    keep_checkpoints: int = 5
+    use_wandb: bool = False
+    wandb_project: str = "None"
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+    # Number of masked forwards averaged per loss (tri-masked MMS trainer uses
+    # 3: random/block/span — reference model_sgm_mms_attach/train.py:76-97).
+    tri_masked: bool = False
+    donate_state: bool = True
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Dataset presets — reference: data/utils/option.py:100-148 subparsers
+# (IAM nb_cls 80, READ 90, LAM 90) and run/*.sh recipes.
+# ---------------------------------------------------------------------------
+_DATASET_PRESETS: Dict[str, Dict[str, Any]] = {
+    "IAM": dict(
+        nb_cls=80,
+        train_list="./data/iam/train.ln",
+        val_list="./data/iam/val.ln",
+        test_list="./data/iam/test.ln",
+        data_path="./data/iam/lines/",
+    ),
+    "READ": dict(
+        nb_cls=90,
+        train_list="./data/read2016/train.ln",
+        val_list="./data/read2016/val.ln",
+        test_list="./data/read2016/test.ln",
+        data_path="./data/read2016/lines/",
+    ),
+    "LAM": dict(
+        nb_cls=90,
+        train_list="./data/LAM/train.ln",
+        val_list="./data/LAM/val.ln",
+        test_list="./data/LAM/test.ln",
+        data_path="./data/LAM/lines/",
+    ),
+    "SYNTH": dict(nb_cls=30),
+}
+
+
+def dataset_preset(name: str, base: Optional[ExperimentConfig] = None) -> ExperimentConfig:
+    """Build an ExperimentConfig for a named dataset with reference defaults."""
+    name = name.upper()
+    if name not in _DATASET_PRESETS:
+        raise ValueError(f"unknown dataset {name!r}; choose from {sorted(_DATASET_PRESETS)}")
+    p = _DATASET_PRESETS[name]
+    cfg = base or ExperimentConfig()
+    model = dataclasses.replace(cfg.model, nb_cls=p["nb_cls"])
+    data_kw = {k: v for k, v in p.items() if k != "nb_cls"}
+    data = dataclasses.replace(cfg.data, dataset=name, **data_kw)
+    return dataclasses.replace(cfg, model=model, data=data)
+
+
+def iam_recipe() -> ExperimentConfig:
+    """The reference IAM training recipe (run/iam.sh): bs 128, SAM(AdamW),
+    max-lr 1e-3, wd 0.5, 100k iters, mask 0.4 span 8, img 512x64."""
+    cfg = dataset_preset("IAM")
+    model = dataclasses.replace(
+        cfg.model, masking=MaskConfig(mode="span", ratio=0.4, max_span_length=8)
+    )
+    return dataclasses.replace(cfg, model=model)
+
+
+def config_to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: config_to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, (list, tuple)):
+        return [config_to_dict(v) for v in cfg]
+    return cfg
+
+
+def config_from_dict(cls, d: Dict[str, Any]):
+    """Inverse of config_to_dict for checkpoint round-trips."""
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kw[f.name] = config_from_dict(f.type, v)
+        elif f.name in _NESTED_FIELDS.get(cls.__name__, {}):
+            kw[f.name] = config_from_dict(_NESTED_FIELDS[cls.__name__][f.name], v)
+        elif isinstance(v, list):
+            kw[f.name] = tuple(v)
+        else:
+            kw[f.name] = v
+    return cls(**kw)
+
+
+_NESTED_FIELDS = {
+    "ExperimentConfig": dict(
+        model=ModelConfig, optim=OptimConfig, data=DataConfig,
+        train=TrainConfig, parallel=ParallelConfig,
+    ),
+    "ModelConfig": dict(masking=MaskConfig, sgm=SGMConfig),
+    "DataConfig": dict(augment=AugmentConfig),
+}

@@ -1,0 +1,92 @@
+"""The HTR-VT model: ResNet stem -> token masking -> transformer encoder -> CTC head.
+
+One shared implementation hosting every reference variant as a config
+(reference flagship: model_v1/model/HTR_VT.py:139-254). Forward pipeline, with
+shapes for the standard 512x64 line image:
+
+    image [B, 64, 512, 1] (NHWC, float32 in [0,1])
+    -> parameterless LayerNorm over the whole image        (:224)
+    -> ResNet18 stem -> [B, 1, 128, D]                     (:225)
+    -> tokens [B, 128, D]                                  (:226-227)
+    -> span/random/block/MMS masking (train only)          (:229-230)
+    -> + fixed 2-D sin-cos positional embedding            (:231)
+    -> encoder blocks (variant-specific stack)             (:233-234)
+    -> LayerNorm -> Dense(nb_cls)                          (:236-238)
+    -> parameterless LayerNorm over logits                 (:239)
+
+TPU notes: all matmuls run in cfg.compute_dtype (bfloat16 by default) on the
+MXU; norms, softmax and the logits are float32. Shapes are fully static so XLA
+compiles exactly one program for train and one for eval.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from htr_vt_tpu.config import ModelConfig
+from htr_vt_tpu.models import masking
+from htr_vt_tpu.models.layers import global_layer_norm, sincos_pos_embed_2d
+from htr_vt_tpu.models.registry import build_encoder_blocks
+from htr_vt_tpu.models.stem import ResNet18Stem
+
+
+class HTRVT(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, image: jax.Array, *, train: bool = False,
+                 use_masking: bool = False, mask_mode: Optional[str] = None,
+                 return_features: bool = False):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+
+        x = image.astype(jnp.float32)
+        if cfg.input_layer_norm:
+            x = global_layer_norm(x)
+
+        x = ResNet18Stem(embed_dim=cfg.embed_dim, dtype=dtype, name="stem")(x, train=train)
+        b = x.shape[0]
+        tokens = x.reshape(b, -1, cfg.embed_dim)  # [B, N, D]
+        n = tokens.shape[1]
+
+        # Learned mask token (model_v1/model/HTR_VT.py:161,187); created
+        # unconditionally so init() without masking still owns the parameter.
+        mask_token = self.param(
+            "mask_token", nn.initializers.normal(0.02), (1, 1, cfg.embed_dim))
+        if use_masking and cfg.masking.mode != "none":
+            keep = masking.build_keep_mask(
+                self.make_rng("mask"), b, n, cfg.masking, mode=mask_mode)
+            tokens = masking.apply_mask(tokens, keep, mask_token)
+
+        if cfg.use_abs_pos_embed:
+            pos = sincos_pos_embed_2d(cfg.embed_dim, cfg.grid_size)  # static numpy
+            tokens = tokens + jnp.asarray(pos, dtype)[None, :n]
+
+        for block in build_encoder_blocks(cfg):
+            tokens = block(tokens, deterministic=not train)
+
+        feats = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                             name="norm")(tokens)
+        logits = nn.Dense(cfg.nb_cls, dtype=jnp.float32,
+                          kernel_init=nn.initializers.xavier_uniform(),
+                          name="head")(feats)
+        if cfg.logit_layer_norm:
+            logits = global_layer_norm(logits)
+
+        if return_features:
+            return logits, feats
+        return logits
+
+
+def create_model(nb_cls: int = 80, img_size=(64, 512), **overrides) -> HTRVT:
+    """Factory matching the reference's hard-coded flagship hyperparameters
+    (model_v1/model/HTR_VT.py:244-254): patch (4,64), dim 768, depth 4, heads 6."""
+    import dataclasses
+    cfg = ModelConfig(nb_cls=nb_cls, img_size=tuple(img_size))
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return HTRVT(cfg)

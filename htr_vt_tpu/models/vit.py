@@ -1,0 +1,182 @@
+"""ViT encoder blocks.
+
+Re-designs the reference's global-attention Block (model_v1/model/HTR_VT.py:11-83)
+and the windowed / shifted relative-position-bias attention of model_window
+(model_window/model/HTR_VT.py:23-47,114-154) for TPU: fused QKV projection onto
+the MXU in bfloat16, float32 softmax, and window partitioning via static
+reshapes (no Python loops, no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from htr_vt_tpu.models.layers import DropPath, LayerScale, Mlp
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+def _split_heads(x, num_heads):
+    b, n, c = x.shape
+    return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def multi_head_attention(q, k, v, scale: float, bias: Optional[jax.Array] = None,
+                         mask: Optional[jax.Array] = None, out_dtype=jnp.bfloat16):
+    """softmax(q k^T * scale + bias) v with float32 logits/softmax.
+
+    q,k,v: [B, H, N, D]; bias: broadcastable to [B, H, N, N]; mask: True=keep.
+    """
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    attn = attn * scale
+    if bias is not None:
+        attn = attn + bias.astype(jnp.float32)
+    if mask is not None:
+        attn = jnp.where(mask, attn, jnp.float32(-1e9))
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    b, h, n, d = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(b, n, h * d).astype(out_dtype)
+
+
+class Attention(nn.Module):
+    """Global multi-head self-attention with fused QKV (model_v1/model/HTR_VT.py:11-39)."""
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=_XAVIER, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = multi_head_attention(
+            _split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
+            _split_heads(v, self.num_heads), scale=head_dim**-0.5, out_dtype=self.dtype)
+        out = nn.Dense(c, dtype=self.dtype, kernel_init=_XAVIER, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class WindowAttention1D(nn.Module):
+    """1-D windowed attention with learned relative position bias.
+
+    Swin-style over the token sequence: partition N tokens into windows of
+    ``window_size``; odd-indexed blocks cyclically shift by window_size//2
+    (model_window/model/HTR_VT.py:114-154, bias table :23-31,:44-47). N must be
+    a multiple of window_size (true for the fixed 128-token grid), so no key
+    padding masks are needed — the reference's pad-mask machinery exists only
+    because it probes dynamic shapes.
+    """
+
+    num_heads: int
+    window_size: int = 16
+    shift: bool = False
+    qkv_bias: bool = True
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        b, n, c = x.shape
+        w = self.window_size
+        assert n % w == 0, f"tokens {n} not divisible by window {w}"
+        head_dim = c // self.num_heads
+        shift = w // 2 if self.shift else 0
+
+        # Learned relative position bias over [-w+1, w-1].
+        table = self.param("rel_bias", nn.initializers.truncated_normal(0.02),
+                           (2 * w - 1, self.num_heads))
+        rel = jnp.arange(w)[:, None] - jnp.arange(w)[None, :] + (w - 1)
+        bias = table[rel]  # [w, w, H]
+        bias = bias.transpose(2, 0, 1)[None]  # [1, H, w, w]
+
+        if shift:
+            x = jnp.roll(x, -shift, axis=1)
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=_XAVIER, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def windows(t):  # [B, N, C] -> [B * N/w, H, w, hd]
+            t = t.reshape(b * n // w, w, c)
+            return t.reshape(-1, w, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        mask = None
+        if shift:
+            # After a cyclic roll the last window mixes sequence head and tail;
+            # Swin masks cross-boundary pairs so attention stays local.
+            win_id = jnp.arange(n) // w
+            last = win_id == (n // w - 1)
+            orig_seg = (jnp.arange(n) + shift) % n >= (n - shift)
+            seg = jnp.where(last, orig_seg.astype(jnp.int32), 0)
+            seg = seg.reshape(n // w, w)
+            pair_ok = seg[:, :, None] == seg[:, None, :]  # [N/w, w, w]
+            mask = jnp.tile(pair_ok[:, None], (b, 1, 1, 1))  # [B*N/w, 1, w, w]
+
+        out = multi_head_attention(windows(q), windows(k), windows(v),
+                                   scale=head_dim**-0.5, bias=bias, mask=mask,
+                                   out_dtype=self.dtype)
+        out = out.reshape(b, n, c)
+        if shift:
+            out = jnp.roll(out, shift, axis=1)
+        out = nn.Dense(c, dtype=self.dtype, kernel_init=_XAVIER, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (model_v1/model/HTR_VT.py:51-83).
+
+    attention: "global" | "window" | "window_shifted".
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    init_values: Optional[float] = None
+    layer_norm_eps: float = 1e-6
+    attention: str = "global"
+    window_size: int = 16
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        dim = x.shape[-1]
+        norm = lambda name: nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
+                                         name=name)
+        if self.attention == "global":
+            attn = Attention(self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
+                             dtype=self.dtype, name="attn")
+        elif self.attention in ("window", "window_shifted"):
+            attn = WindowAttention1D(self.num_heads, self.window_size,
+                                     shift=self.attention == "window_shifted",
+                                     qkv_bias=self.qkv_bias, proj_drop=self.drop,
+                                     dtype=self.dtype, name="attn")
+        else:
+            raise ValueError(f"unknown attention kind {self.attention!r}")
+
+        ls1 = LayerScale(self.init_values, name="ls1") if self.init_values else (lambda y: y)
+        ls2 = LayerScale(self.init_values, name="ls2") if self.init_values else (lambda y: y)
+        dp1 = DropPath(self.drop_path, name="drop_path1")
+        dp2 = DropPath(self.drop_path, name="drop_path2")
+
+        y = attn(norm("norm1")(x).astype(self.dtype), deterministic=deterministic)
+        x = x + dp1(ls1(y), deterministic=deterministic)
+        y = Mlp(int(dim * self.mlp_ratio), drop_rate=self.drop, dtype=self.dtype,
+                name="mlp")(norm("norm2")(x).astype(self.dtype), deterministic=deterministic)
+        x = x + dp2(ls2(y), deterministic=deterministic)
+        return x

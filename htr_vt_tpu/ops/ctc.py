@@ -1,0 +1,127 @@
+"""CTC loss as a pure-JAX log-space forward recursion under ``lax.scan``.
+
+Replaces the reference's ``torch.nn.CTCLoss(reduction='none',
+zero_infinity=True)`` (model_v1/train.py:95, invoked with cuDNN disabled to
+force the deterministic native kernel, train.py:27-29). Semantics matched:
+
+- blank index 0 (CTCLabelConverter prepends '[blank]', utils/utils.py:63);
+- per-sample losses are the *total* negative log-likelihood of the label
+  sequence (no length normalization) — the caller takes ``.mean()`` over the
+  batch exactly like the reference;
+- ``zero_infinity``: samples whose alignment is infeasible (T too short for
+  the label) contribute zero loss *and zero gradient*.
+
+Numerics: the recursion uses a large-negative sentinel (-1e30) instead of
+-inf so that reverse-mode autodiff through the scan never produces NaNs; the
+gradient is obtained by plain autodiff (the backward of log-sum-exp *is* the
+beta recursion XLA derives from the scan transpose).
+
+The scan carries an alpha vector of shape [B, 2*Lmax+1]; with T=128 frames and
+Lmax<=~96 this is tiny, and XLA fuses each step's gather + logaddexp chain
+into a handful of VPU ops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+_INFEASIBLE_THRESHOLD = 1e29  # losses beyond this mean "no feasible alignment"
+
+
+def _logaddexp3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    out = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m) + jnp.exp(c - m))
+    return jnp.maximum(out, NEG_INF)
+
+
+def _shift_right(x, k):
+    pad = jnp.full(x.shape[:-1] + (k,), NEG_INF, x.dtype)
+    return jnp.concatenate([pad, x[..., :-k]], axis=-1)
+
+
+def ctc_loss(logits: jax.Array, labels: jax.Array, label_lengths: jax.Array,
+             logit_lengths: Optional[jax.Array] = None, blank: int = 0,
+             zero_infinity: bool = True) -> jax.Array:
+    """Per-sample CTC negative log-likelihood.
+
+    Args:
+      logits: [B, T, C] raw (pre-log-softmax) scores.
+      labels: [B, Lmax] int32 target indices (values in [1, C)); padding
+        beyond ``label_lengths`` is ignored (any value).
+      label_lengths: [B] int32 true target lengths.
+      logit_lengths: [B] int32 frame counts; None means all T frames.
+      blank: blank class index (0 in this framework, like the reference).
+      zero_infinity: zero out infeasible samples (torch semantics).
+
+    Returns: [B] float32 losses (sum NLL per sample, not length-normalized).
+    """
+    logits = logits.astype(jnp.float32)
+    b, t, c = logits.shape
+    lmax = labels.shape[1]
+    s = 2 * lmax + 1
+    labels = labels.astype(jnp.int32)
+    label_lengths = label_lengths.astype(jnp.int32)
+    if logit_lengths is None:
+        logit_lengths = jnp.full((b,), t, jnp.int32)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+
+    # Extended label sequence: blank, l1, blank, l2, ..., blank.
+    z = jnp.full((b, s), blank, jnp.int32)
+    z = z.at[:, 1::2].set(labels)
+    # Skip transition s-2 -> s is allowed only into a non-blank that differs
+    # from the label two slots back.
+    same_as_two_back = jnp.concatenate(
+        [jnp.ones((b, 2), bool), z[:, 2:] == z[:, :-2]], axis=1)
+    is_blank = z == blank
+    no_skip = same_as_two_back | is_blank
+    valid = jnp.arange(s)[None, :] < (2 * label_lengths + 1)[:, None]
+
+    lp0 = jnp.take_along_axis(logp[:, 0], z, axis=1)  # [B, S]
+    alpha0 = jnp.full((b, s), NEG_INF)
+    alpha0 = alpha0.at[:, 0].set(lp0[:, 0])
+    alpha0 = alpha0.at[:, 1].set(jnp.where(label_lengths > 0, lp0[:, 1], NEG_INF))
+    alpha0 = jnp.where(valid, alpha0, NEG_INF)
+
+    def step(alpha, inputs):
+        logp_t, t_idx = inputs
+        lp = jnp.take_along_axis(logp_t, z, axis=1)  # [B, S]
+        a1 = _shift_right(alpha, 1)
+        a2 = jnp.where(no_skip, NEG_INF, _shift_right(alpha, 2))
+        new = _logaddexp3(alpha, a1, a2) + lp
+        new = jnp.maximum(jnp.where(valid, new, NEG_INF), NEG_INF)
+        # Frames past a sample's logit length leave alpha unchanged.
+        active = (t_idx < logit_lengths)[:, None]
+        new = jnp.where(active, new, alpha)
+        return new, None
+
+    ts = jnp.arange(1, t)
+    alpha, _ = jax.lax.scan(step, alpha0, (logp[:, 1:].swapaxes(0, 1), ts))
+
+    end = 2 * label_lengths  # final blank slot
+    a_last_blank = jnp.take_along_axis(alpha, end[:, None], axis=1)[:, 0]
+    a_last_label = jnp.where(
+        label_lengths > 0,
+        jnp.take_along_axis(alpha, jnp.maximum(end - 1, 0)[:, None], axis=1)[:, 0],
+        NEG_INF)
+    total = jnp.logaddexp(a_last_blank, a_last_label)
+    loss = -total
+
+    if zero_infinity:
+        feasible = loss < _INFEASIBLE_THRESHOLD
+        # jnp.where alone still backprops NaN-free here because all values are
+        # finite (sentinel, not inf); zero both loss and gradient when infeasible.
+        loss = jnp.where(feasible, loss, 0.0)
+        loss = loss * jax.lax.stop_gradient(feasible.astype(jnp.float32)) + \
+            jax.lax.stop_gradient(jnp.where(feasible, 0.0, loss))
+    return loss
+
+
+def ctc_loss_mean(logits, labels, label_lengths, logit_lengths=None, blank: int = 0):
+    """Batch-mean CTC loss, the exact quantity the reference trains on
+    (``criterion(...).mean()``, model_v1/train.py:28)."""
+    return ctc_loss(logits, labels, label_lengths, logit_lengths, blank).mean()

@@ -1,0 +1,159 @@
+"""The jitted training/eval step functions.
+
+One XLA program performs what the reference spreads over Python
+(model_v1/train.py:113-128): LR schedule, SAM first pass (grad at w),
+perturbation, second pass (grad at w + e(w)), AdamW update at w, and the EMA
+update with the n = iter/2 convention. Under a batch-sharded input the same
+program is the multi-chip data-parallel program — XLA inserts the gradient
+all-reduce because the loss averages over the global batch.
+
+The tri-masked MMS trainer (model_sgm_mms_attach/train.py:76-97: random .30 /
+block .20 / span_old .20 forwards averaged, x2 under SAM) is a loss-mode
+switch here, not a separate codebase.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from htr_vt_tpu.config import ExperimentConfig
+from htr_vt_tpu.ops.ctc import ctc_loss
+from htr_vt_tpu.optim.ema import ema_update
+from htr_vt_tpu.optim.sam import make_base_optimizer, sam_perturb
+from htr_vt_tpu.train.state import TrainState
+
+Batch = Dict[str, jax.Array]
+
+# Tri-masked trainer's (mode, ratio) schedule — reference
+# model_sgm_mms_attach/train.py:76-97.
+TRI_MASK_MODES = (("random", 0.30), ("block", 0.20), ("span_old", 0.20))
+
+
+def _forward_loss(model, cfg: ExperimentConfig, params, batch_stats,
+                  batch: Batch, rng: jax.Array, mask_mode: Optional[str],
+                  sgm_head=None, sgm_params=None, sgm_batch=None):
+    """One masked forward + CTC (+ optional SGM) loss. Returns (loss, aux)."""
+    mask_rng, drop_rng = jax.random.split(rng)
+    want_feats = cfg.model.sgm.enable
+    out, mutated = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        batch["image"], train=True, use_masking=True, mask_mode=mask_mode,
+        return_features=want_feats,
+        rngs={"mask": mask_rng, "dropout": drop_rng},
+        mutable=["batch_stats"])
+    if want_feats:
+        logits, feats = out
+    else:
+        logits, feats = out, None
+
+    loss_ctc = ctc_loss(logits, batch["labels"], batch["label_lengths"]).mean()
+    aux = {"batch_stats": mutated.get("batch_stats", batch_stats),
+           "loss_ctc": loss_ctc}
+    if want_feats and sgm_head is not None:
+        sgm = cfg.model.sgm
+        f = jax.lax.stop_gradient(feats) if sgm.detach_features else feats
+        loss_sgm = sgm_head.apply({"params": sgm_params}, f, **sgm_batch)
+        aux["loss_sgm"] = loss_sgm
+        loss = sgm.ctc_lambda * loss_ctc + sgm.sgm_lambda * loss_sgm
+    else:
+        loss = loss_ctc
+    return loss, aux
+
+
+def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
+    """Build the per-pass loss: single-mask (model_v1) or tri-masked (MMS)."""
+    if not cfg.train.tri_masked:
+        def loss_fn(params, batch_stats, batch, rng):
+            return _forward_loss(model, cfg, params, batch_stats, batch, rng,
+                                 mask_mode=None)
+        return loss_fn
+
+    def tri_loss_fn(params, batch_stats, batch, rng):
+        import dataclasses
+        total = 0.0
+        aux = {}
+        bs = batch_stats
+        rngs = jax.random.split(rng, len(TRI_MASK_MODES))
+        for i, (mode, ratio) in enumerate(TRI_MASK_MODES):
+            sub_cfg = dataclasses.replace(
+                cfg, model=dataclasses.replace(
+                    cfg.model, masking=dataclasses.replace(
+                        cfg.model.masking, mode=mode, ratio=ratio)))
+            li, ai = _forward_loss(model, sub_cfg, params, bs, batch, rngs[i],
+                                   mask_mode=mode)
+            total = total + li
+            bs = ai["batch_stats"]
+        aux["batch_stats"] = bs
+        aux["loss_ctc"] = total / len(TRI_MASK_MODES)
+        return total / len(TRI_MASK_MODES), aux
+
+    return tri_loss_fn
+
+
+def train_step(model, cfg: ExperimentConfig, state: TrainState,
+               batch: Batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """One full SAM iteration. Pure; jit (or shard_map) this."""
+    tx = make_base_optimizer(cfg.optim)
+    loss_fn = make_loss_fn(model, cfg)
+
+    rng, rng1, rng2 = jax.random.split(state.rng, 3)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    # SAM pass 1: gradient at w (reference train.py:122-124).
+    (loss1, aux1), grads1 = grad_fn(state.params, state.batch_stats, batch, rng1)
+    params_adv, gnorm = sam_perturb(state.params, grads1, cfg.optim.sam_rho,
+                                    cfg.optim.sam_adaptive)
+
+    # SAM pass 2: gradient at w + e(w), fresh mask randomness and sequential
+    # BN-stat update, matching the reference's second full forward
+    # (train.py:125-126).
+    (loss2, aux2), grads2 = grad_fn(params_adv, aux1["batch_stats"], batch, rng2)
+
+    updates, new_opt_state = tx.update(grads2, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_batch_stats = aux2["batch_stats"]
+
+    # EMA with n = iter/2 (reference train.py:128).
+    num_updates = state.step.astype(jnp.float32)
+    if cfg.optim.ema_halved_updates:
+        num_updates = num_updates / 2.0
+    new_ema_params = ema_update(state.ema_params, new_params, num_updates,
+                                cfg.optim.ema_decay)
+    new_ema_bs = ema_update(state.ema_batch_stats, new_batch_stats, num_updates,
+                            cfg.optim.ema_decay)
+
+    new_state = state.replace(
+        step=state.step + 1, params=new_params, batch_stats=new_batch_stats,
+        opt_state=new_opt_state, ema_params=new_ema_params,
+        ema_batch_stats=new_ema_bs, rng=rng)
+    metrics = {"loss": loss1, "loss_second": loss2, "grad_norm": gnorm}
+    if "loss_sgm" in aux1:
+        metrics["loss_sgm"] = aux1["loss_sgm"]
+        metrics["loss_ctc"] = aux1["loss_ctc"]
+    return new_state, metrics
+
+
+def eval_step(model, cfg: ExperimentConfig, params, batch_stats,
+              batch: Batch) -> Dict[str, jax.Array]:
+    """Eval forward on given weights (the loop passes EMA weights, matching
+    the reference's EMA-eval convention, train.py:149-153). Returns logits,
+    per-frame argmax and batch-mean CTC loss."""
+    logits = model.apply({"params": params, "batch_stats": batch_stats},
+                         batch["image"], train=False)
+    loss = ctc_loss(logits, batch["labels"], batch["label_lengths"]).mean()
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return {"logits": logits, "pred_ids": preds, "loss": loss}
+
+
+def jit_train_step(model, cfg: ExperimentConfig, donate: bool = True):
+    step = functools.partial(train_step, model, cfg)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def jit_eval_step(model, cfg: ExperimentConfig):
+    return jax.jit(functools.partial(eval_step, model, cfg))

@@ -1,0 +1,109 @@
+"""CTC loss parity vs torch.nn.CTCLoss (the reference criterion) and optax."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from htr_vt_tpu.ops.ctc import ctc_loss
+
+
+def _torch_ctc(logits, labels_flat, label_lengths, logit_lengths):
+    # Reference usage: permute to [T,B,C], log_softmax, CTCLoss(reduction='none',
+    # zero_infinity=True) on flattened targets (model_v1/train.py:21-30).
+    lp = torch.from_numpy(logits).permute(1, 0, 2).log_softmax(2)
+    crit = torch.nn.CTCLoss(reduction="none", zero_infinity=True)
+    return crit(lp, torch.from_numpy(labels_flat),
+                torch.from_numpy(logit_lengths), torch.from_numpy(label_lengths)).numpy()
+
+
+def _random_case(rng, b, t, c, lmin, lmax):
+    logits = rng.standard_normal((b, t, c)).astype(np.float32) * 2.0
+    lengths = rng.integers(lmin, lmax + 1, size=b).astype(np.int64)
+    labels = np.zeros((b, lmax), np.int64)
+    flat = []
+    for i in range(b):
+        li = rng.integers(1, c, size=lengths[i])
+        labels[i, :lengths[i]] = li
+        flat.extend(li.tolist())
+    return logits, labels, np.asarray(flat, np.int64), lengths
+
+
+def test_ctc_matches_torch_values():
+    rng = np.random.default_rng(0)
+    b, t, c, lmax = 6, 32, 11, 10
+    logits, labels, flat, lengths = _random_case(rng, b, t, c, 2, lmax)
+    logit_lengths = np.full((b,), t, np.int64)
+
+    ref = _torch_ctc(logits, flat, lengths, logit_lengths)
+    got = np.asarray(ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                              jnp.asarray(lengths)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_matches_torch_gradients():
+    rng = np.random.default_rng(1)
+    b, t, c, lmax = 4, 24, 8, 7
+    logits, labels, flat, lengths = _random_case(rng, b, t, c, 2, lmax)
+    logit_lengths = np.full((b,), t, np.int64)
+
+    th = torch.from_numpy(logits).requires_grad_(True)
+    lp = th.permute(1, 0, 2).log_softmax(2)
+    crit = torch.nn.CTCLoss(reduction="none", zero_infinity=True)
+    loss = crit(lp, torch.from_numpy(flat), torch.from_numpy(logit_lengths),
+                torch.from_numpy(lengths)).mean()
+    loss.backward()
+    ref_grad = th.grad.numpy()
+
+    grad = jax.grad(lambda x: ctc_loss(x, jnp.asarray(labels),
+                                       jnp.asarray(lengths)).mean())(jnp.asarray(logits))
+    np.testing.assert_allclose(np.asarray(grad), ref_grad, rtol=1e-3, atol=1e-5)
+
+
+def test_ctc_zero_infinity():
+    # Label longer than feasible for T frames -> torch zeroes loss and grad.
+    b, t, c, lmax = 2, 5, 6, 12
+    rng = np.random.default_rng(2)
+    logits = rng.standard_normal((b, t, c)).astype(np.float32)
+    labels = np.zeros((b, lmax), np.int64)
+    labels[0, :3] = [1, 2, 3]       # feasible
+    labels[1, :] = ([1, 2] * 6)     # 12 labels in 5 frames: infeasible
+    lengths = np.array([3, 12], np.int64)
+
+    losses = np.asarray(ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                 jnp.asarray(lengths)))
+    assert losses[1] == 0.0
+    assert losses[0] > 0.0
+
+    grad = jax.grad(lambda x: ctc_loss(x, jnp.asarray(labels),
+                                       jnp.asarray(lengths)).sum())(jnp.asarray(logits))
+    grad = np.asarray(grad)
+    assert np.all(np.isfinite(grad))
+    np.testing.assert_allclose(grad[1], 0.0, atol=1e-7)
+    assert np.abs(grad[0]).max() > 0
+
+
+def test_ctc_matches_optax():
+    import optax
+    rng = np.random.default_rng(3)
+    b, t, c, lmax = 5, 20, 9, 8
+    logits, labels, _, lengths = _random_case(rng, b, t, c, 1, lmax)
+    got = np.asarray(ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                              jnp.asarray(lengths)))
+    label_pad = (np.arange(lmax)[None] >= lengths[:, None]).astype(np.float32)
+    ref = np.asarray(optax.ctc_loss(jnp.asarray(logits),
+                                    jnp.zeros((b, t), np.float32),
+                                    jnp.asarray(labels), jnp.asarray(label_pad)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_variable_logit_lengths():
+    rng = np.random.default_rng(4)
+    b, t, c, lmax = 4, 30, 7, 6
+    logits, labels, flat, lengths = _random_case(rng, b, t, c, 2, lmax)
+    logit_lengths = np.array([30, 25, 18, 12], np.int64)
+    ref = _torch_ctc(logits, flat, lengths, logit_lengths)
+    got = np.asarray(ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                              jnp.asarray(lengths), jnp.asarray(logit_lengths)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
