@@ -1,0 +1,83 @@
+"""Benchmark harness: flagship HTR-VT training throughput on one chip.
+
+Measures line-images/sec through the FULL SAM training step (2 fwd+bwd per
+iteration, masking, EMA — identical work to one reference iteration,
+model_v1/train.py:113-128) at the reference IAM recipe shapes: batch 128,
+64x512 images, 768/4/6 ViT, ~25 M params.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
+the denominator is an engineering estimate of the reference stack on its
+RTX-4090: ~33 GFLOPs/image/iteration (fwd+bwd x2 SAM passes) at ~35% fp16
+utilization with PyTorch eager + Python-loop masking => ~600 img/s. The
+BASELINE.json north star (>=5x img/s/chip) is value/600 >= 5.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_IMGS_PER_SEC = 600.0  # documented estimate, see module docstring
+
+
+def main() -> None:
+    import jax
+
+    from htr_vt_tpu.config import ExperimentConfig, MaskConfig, ModelConfig, OptimConfig
+    from htr_vt_tpu.models.htr_vt import HTRVT
+    from htr_vt_tpu.parallel.mesh import batch_sharding, make_mesh
+    from htr_vt_tpu.train.state import create_train_state
+    from htr_vt_tpu.train.step import jit_train_step
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(nb_cls=80, masking=MaskConfig(mode="span", ratio=0.4,
+                                                        max_span_length=8)),
+        optim=OptimConfig(),
+    )
+    batch_size = 128
+    model = HTRVT(cfg.model)
+    mesh = make_mesh()
+    bsh = batch_sharding(mesh)
+
+    rng = np.random.default_rng(0)
+    sample = np.zeros((batch_size, 64, 512, 1), np.float32)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+
+    batch = {
+        "image": jax.device_put(
+            rng.random((batch_size, 64, 512, 1), dtype=np.float32), bsh),
+        "labels": jax.device_put(
+            rng.integers(1, 80, (batch_size, 96)).astype(np.int32), bsh),
+        "label_lengths": jax.device_put(
+            rng.integers(30, 90, (batch_size,)).astype(np.int32), bsh),
+    }
+
+    train_fn = jit_train_step(model, cfg, donate=True)
+
+    # Warmup / compile.
+    for _ in range(3):
+        state, metrics = train_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = iters * batch_size / dt
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 1),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / REFERENCE_IMGS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,9 @@ class SGMConfig:
     warmup_iters: int = 0
     char_emb_dim: int = 256
     num_heads: int = 4
+    # Set by the trainer once the codec exists: codec classes + 4 control
+    # tokens (<pad>/<eos>/<bos_left>/<bos_right>).
+    vocab_size: int = 0
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,71 @@
+"""Synthetic line-image dataset.
+
+Renders pseudo-handwritten text lines with cv2 Hershey fonts plus geometric
+jitter, giving a fully self-contained, learnable OCR task for unit tests,
+benchmarks and CI — the reference has no equivalent (it requires the real IAM
+tgz), which makes its pipeline untestable without licensed data.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+_FONTS = (cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_COMPLEX,
+          cv2.FONT_HERSHEY_DUPLEX, cv2.FONT_HERSHEY_TRIPLEX)
+
+
+def render_line(text: str, height: int = 64, width: int = 512,
+                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Render ``text`` onto a white uint8 [height, width] canvas with random
+    font/slant/thickness/baseline wobble."""
+    rng = rng or np.random.default_rng(abs(hash(text)) % (2**31))
+    canvas = np.full((height, width), 255, np.uint8)
+    font = _FONTS[int(rng.integers(0, len(_FONTS)))]
+    scale = float(rng.uniform(0.9, 1.3))
+    thickness = int(rng.integers(1, 3))
+    x = int(rng.integers(2, 8))
+    base_y = int(height * 0.68)
+    for ch in text:
+        if ch == " ":
+            x += int(12 * scale)
+            continue
+        y = base_y + int(rng.integers(-3, 4))
+        cv2.putText(canvas, ch, (x, y), font, scale, 0, thickness, cv2.LINE_AA)
+        (w, _), _ = cv2.getTextSize(ch, font, scale, thickness)
+        x += w + int(rng.integers(-2, 3))
+        if x >= width - 10:
+            break
+    return canvas
+
+
+def random_text(rng: np.random.Generator, alphabet: str,
+                min_len: int = 4, max_len: int = 28) -> str:
+    n = int(rng.integers(min_len, max_len + 1))
+    chars = [alphabet[int(i)] for i in rng.integers(0, len(alphabet), n)]
+    text = "".join(chars).strip()
+    return text if text else alphabet[0]
+
+
+class SyntheticLineDataset:
+    """Deterministic synthetic dataset: sample i always renders the same text
+    with the same base glyphs (augmentation randomness stays in the loader)."""
+
+    def __init__(self, size: int, alphabet: str = "abcdefghijklmnopqrstuvwxyz '",
+                 seed: int = 0, height: int = 64, width: int = 512):
+        rng = np.random.default_rng(seed)
+        # strip() in random_text means leading/trailing spaces vanish; keep
+        # alphabet order stable for the codec.
+        self.alphabet = sorted(set(alphabet))
+        self.height, self.width = height, width
+        self.labels: List[str] = [random_text(rng, alphabet) for _ in range(size)]
+        self._seeds = rng.integers(0, 2**31, size=size)
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, str]:
+        rng = np.random.default_rng(int(self._seeds[i]))
+        return render_line(self.labels[i], self.height, self.width, rng), self.labels[i]

@@ -1,0 +1,43 @@
+"""Validation / evaluation loop.
+
+Mirrors the reference's ``validation`` contract (model_v1/valid.py:9-77):
+iterate the eval split, compute batch-mean CTC loss, greedy-decode, accumulate
+CER/WER with the reference's aggregation, return
+(val_loss, CER, WER, all_preds, all_labels). Runs on whatever weights the
+caller passes — the train loop passes EMA weights (reference convention,
+model_v1/train.py:149-153).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import numpy as np
+
+from htr_vt_tpu.text.converter import CTCLabelConverter
+from htr_vt_tpu.text.metrics import RecognitionMetrics
+
+
+def validate(eval_fn, params, batch_stats, batches, converter: CTCLabelConverter,
+             sharding=None) -> Tuple[float, float, float, List[str], List[str]]:
+    """eval_fn: jitted (params, batch_stats, batch) -> {pred_ids, loss}.
+    batches: iterator of (batch, num_valid, texts) from data.loader.eval_batches.
+    """
+    metrics = RecognitionMetrics()
+    total_loss, count = 0.0, 0
+    all_preds: List[str] = []
+    all_labels: List[str] = []
+    for batch, valid, texts in batches:
+        if sharding is not None:
+            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+        out = eval_fn(params, batch_stats, batch)
+        pred_ids = np.asarray(out["pred_ids"])[:valid]
+        preds = converter.decode_batch(pred_ids)
+        metrics.update(preds, texts)
+        total_loss += float(out["loss"])
+        count += 1
+        all_preds.extend(preds)
+        all_labels.extend(texts)
+    val_loss = total_loss / max(1, count)
+    return val_loss, metrics.cer, metrics.wer, all_preds, all_labels

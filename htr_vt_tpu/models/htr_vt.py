@@ -31,6 +31,7 @@ from htr_vt_tpu.config import ModelConfig
 from htr_vt_tpu.models import masking
 from htr_vt_tpu.models.layers import global_layer_norm, sincos_pos_embed_2d
 from htr_vt_tpu.models.registry import build_encoder_blocks
+from htr_vt_tpu.models.sgm import SGMHead
 from htr_vt_tpu.models.stem import ResNet18Stem
 
 
@@ -40,7 +41,7 @@ class HTRVT(nn.Module):
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False,
                  use_masking: bool = False, mask_mode: Optional[str] = None,
-                 return_features: bool = False):
+                 return_features: bool = False, sgm_batch: Optional[dict] = None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
 
@@ -76,6 +77,21 @@ class HTRVT(nn.Module):
                           name="head")(feats)
         if cfg.logit_layer_norm:
             logits = global_layer_norm(logits)
+
+        # Training-only SGM auxiliary loss (model_sgm_* variants); the head's
+        # parameters live in the same tree so SAM/AdamW/EMA treat them exactly
+        # like the reference's shared param group (model_sgm_2/train.py:144-158).
+        if cfg.sgm.enable and sgm_batch is not None:
+            f = jax.lax.stop_gradient(feats) if cfg.sgm.detach_features else feats
+            sgm_loss = SGMHead(vocab_size=cfg.sgm.vocab_size,
+                               char_emb_dim=cfg.sgm.char_emb_dim,
+                               dtype=dtype, name="sgm_head")(
+                f, sgm_batch["sgm_left"], sgm_batch["sgm_right"],
+                sgm_batch["sgm_tgt"], sgm_batch["sgm_mask"],
+                deterministic=not train)
+            if return_features:
+                return logits, feats, sgm_loss
+            return logits, sgm_loss
 
         if return_features:
             return logits, feats

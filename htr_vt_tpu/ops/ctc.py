@@ -125,3 +125,13 @@ def ctc_loss_mean(logits, labels, label_lengths, logit_lengths=None, blank: int 
     """Batch-mean CTC loss, the exact quantity the reference trains on
     (``criterion(...).mean()``, model_v1/train.py:28)."""
     return ctc_loss(logits, labels, label_lengths, logit_lengths, blank).mean()
+
+
+def ctc_loss_auto(logits, labels, label_lengths, blank: int = 0) -> jax.Array:
+    """Backend dispatch: the Pallas VMEM-resident forward-backward on TPU
+    (ops/ctc_pallas.py), the scan recursion elsewhere. Full-frame logits
+    (the HTR pipeline always emits T frames per sample)."""
+    if jax.default_backend() == "tpu":
+        from htr_vt_tpu.ops.ctc_pallas import ctc_loss_pallas
+        return ctc_loss_pallas(logits, labels, label_lengths, blank)
+    return ctc_loss(logits, labels, label_lengths, blank=blank)

@@ -1,0 +1,113 @@
+"""Checkpointing with Orbax.
+
+Reference layout (model_v1/train.py:148-211): per-eval rolling
+``checkpoint_{cer:.4f}_{wer:.4f}_{iter}`` plus ``best_CER`` / ``best_WER``
+copies, each carrying model + EMA + optimizer + iteration + metrics + RNG
+state. Here one Orbax save of the TrainState pytree covers model/EMA/optimizer
+and the *exact* JAX PRNG key (the reference restores four RNG streams for
+bit-reproducible continuation; device-side randomness here is the single key
+inside TrainState, and host augmentation seeds are recorded in metadata).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from htr_vt_tpu.train.state import TrainState
+
+_CKPT_RE = re.compile(r"checkpoint_(?P<cer>[\d.]+)_(?P<wer>[\d.]+)_(?P<iter>\d+)$")
+
+
+class CheckpointManager:
+    def __init__(self, save_dir: str, keep: int = 5):
+        self.save_dir = os.path.abspath(save_dir)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.keep = keep
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # -- paths ------------------------------------------------------------
+    def _rolling_name(self, cer: float, wer: float, step: int) -> str:
+        return f"checkpoint_{cer:.4f}_{wer:.4f}_{step}"
+
+    def list_rolling(self):
+        out = []
+        for name in os.listdir(self.save_dir):
+            m = _CKPT_RE.match(name)
+            if m:
+                out.append((int(m.group("iter")), name))
+        return sorted(out)
+
+    def latest_path(self) -> Optional[str]:
+        rolling = self.list_rolling()
+        return os.path.join(self.save_dir, rolling[-1][1]) if rolling else None
+
+    # -- save -------------------------------------------------------------
+    def save(self, state: TrainState, *, cer: float, wer: float,
+             best_cer: float, best_wer: float, meta: Optional[Dict] = None) -> str:
+        step = int(state.step)
+        name = self._rolling_name(cer, wer, step)
+        path = os.path.join(self.save_dir, name)
+        self._save_state(path, state, step=step, cer=cer, wer=wer,
+                         best_cer=best_cer, best_wer=best_wer, meta=meta)
+        # best_CER / best_WER copies (cheap local copytree; reference saves
+        # full duplicates too, train.py:173-211).
+        if cer <= best_cer:
+            self._copy(path, os.path.join(self.save_dir, "best_CER"))
+        if wer <= best_wer:
+            self._copy(path, os.path.join(self.save_dir, "best_WER"))
+        self._cleanup()
+        return path
+
+    def _save_state(self, path: str, state: TrainState, **meta_kw) -> None:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(os.path.join(path, "state"), jax.device_get(state))
+        self._ckptr.wait_until_finished()
+        meta = dict(meta_kw.pop("meta", None) or {})
+        meta.update({k: v for k, v in meta_kw.items() if v is not None})
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=float)
+
+    def _copy(self, src: str, dst: str) -> None:
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+
+    def _cleanup(self) -> None:
+        rolling = self.list_rolling()
+        for _, name in rolling[:-self.keep] if self.keep > 0 else []:
+            shutil.rmtree(os.path.join(self.save_dir, name), ignore_errors=True)
+
+    # -- restore ----------------------------------------------------------
+    def restore(self, path: str, template: TrainState) -> Tuple[TrainState, Dict]:
+        """Restore into the structure of ``template``. Accepts a rolling dir,
+        best_CER/best_WER dir, or the save_dir (-> latest). Falls back to
+        parsing metrics from the directory name like the reference's filename
+        convention (model_v1/utils/utils.py:246-251)."""
+        if os.path.basename(path) not in ("best_CER", "best_WER") and \
+                not _CKPT_RE.match(os.path.basename(path)):
+            latest = self.latest_path()
+            if latest is None:
+                raise FileNotFoundError(f"no checkpoints under {path}")
+            path = latest
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(template))
+        state = self._ckptr.restore(os.path.join(path, "state"), abstract)
+        meta: Dict[str, Any] = {}
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        else:
+            m = _CKPT_RE.match(os.path.basename(path))
+            if m:
+                meta = {"cer": float(m.group("cer")), "wer": float(m.group("wer")),
+                        "step": int(m.group("iter"))}
+        return state, meta

@@ -1,0 +1,135 @@
+"""The training driver.
+
+Functional equivalent of the reference's main() (model_v1/train.py:33-231):
+data + model + SAM/EMA + periodic EMA-weight validation + best-CER/WER
+checkpoints + scalars — but as one jit-compiled step over a device mesh with
+host-side work overlapped through the prefetching loader.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from htr_vt_tpu.config import ExperimentConfig, config_to_dict
+from htr_vt_tpu.data.loader import (TrainLoader, build_dataset, choose_max_label_len,
+                                    device_prefetch, eval_batches, make_converter)
+from htr_vt_tpu.eval.validate import validate
+from htr_vt_tpu.models.htr_vt import HTRVT
+from htr_vt_tpu.parallel.mesh import batch_sharding, make_mesh, maybe_initialize_distributed
+from htr_vt_tpu.train.checkpoint import CheckpointManager
+from htr_vt_tpu.train.state import TrainState, create_train_state, param_count
+from htr_vt_tpu.train.step import jit_eval_step, jit_train_step
+from htr_vt_tpu.utils.logging import ScalarWriter, StepTimer, get_logger, maybe_profile
+
+
+def fit(cfg: ExperimentConfig) -> Dict[str, float]:
+    """Run training to cfg.train.total_iters. Returns final best metrics."""
+    maybe_initialize_distributed()
+    save_dir = os.path.join(cfg.train.out_dir, cfg.train.exp_name)
+    os.makedirs(save_dir, exist_ok=True)
+    logger = get_logger(save_dir)
+    logger.info(json.dumps(config_to_dict(cfg), indent=2, sort_keys=True, default=str))
+
+    # ---- data ----
+    train_ds = build_dataset(cfg.data, "train")
+    val_ds = build_dataset(cfg.data, "val")
+    converter = make_converter(cfg.data, train_ds)
+    if converter.num_classes != cfg.model.nb_cls:
+        logger.info("adjusting nb_cls %d -> %d (alphabet size)",
+                    cfg.model.nb_cls, converter.num_classes)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, nb_cls=converter.num_classes))
+    num_frames = cfg.model.num_tokens
+    max_label_len = choose_max_label_len(train_ds.labels, num_frames)
+
+    sgm_extras_fn, sgm_sample = None, None
+    if cfg.model.sgm.enable:
+        from htr_vt_tpu.models.sgm import SGMVocab, make_context_arrays
+        sgm_vocab = SGMVocab(converter)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, sgm=dataclasses.replace(cfg.model.sgm,
+                                               vocab_size=sgm_vocab.size)))
+        sub_len = cfg.model.sgm.sub_len
+        sgm_extras_fn = lambda texts: make_context_arrays(
+            texts, sgm_vocab, max_label_len, sub_len)
+        sgm_sample = make_context_arrays([""], sgm_vocab, max_label_len, sub_len)
+        sgm_sample = {k: np.repeat(v, cfg.data.train_bs, axis=0)
+                      for k, v in sgm_sample.items()}
+    model = HTRVT(cfg.model)
+    logger.info("train=%d val=%d alphabet=%d max_label_len=%d",
+                len(train_ds), len(val_ds), converter.num_classes, max_label_len)
+
+    # ---- mesh + state ----
+    mesh = make_mesh(cfg.parallel)
+    bsh = batch_sharding(mesh, cfg.parallel)
+    sample = np.zeros((cfg.data.train_bs, *cfg.model.img_size, 1), np.float32)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.train.seed),
+                               sample, sgm_sample=sgm_sample)
+    logger.info("total_param is %d", param_count(state.params))
+
+    ckpt = CheckpointManager(save_dir, keep=cfg.train.keep_checkpoints)
+    best_cer, best_wer, start_step = 1e6, 1e6, 0
+    if cfg.train.resume:
+        state, meta = ckpt.restore(cfg.train.resume, state)
+        best_cer = float(meta.get("best_cer", best_cer))
+        best_wer = float(meta.get("best_wer", best_wer))
+        start_step = int(state.step)
+        logger.info("resumed at step %d (best CER %.4f WER %.4f)",
+                    start_step, best_cer, best_wer)
+
+    loader = TrainLoader(train_ds, converter, cfg.data.train_bs, max_label_len,
+                         augment=cfg.data.augment, seed=cfg.train.seed,
+                         num_threads=cfg.data.num_workers, extras_fn=sgm_extras_fn)
+    batches = device_prefetch(iter(loader), bsh)
+
+    train_fn = jit_train_step(model, cfg, donate=cfg.train.donate_state)
+    eval_fn = jit_eval_step(model, cfg)
+    writer = ScalarWriter(save_dir, cfg.train.use_wandb, cfg.train.wandb_project,
+                          cfg.train.exp_name, config_to_dict(cfg))
+    timer = StepTimer()
+
+    train_loss, train_loss_count = 0.0, 0
+    logger.info("Start training...")
+    for step in range(start_step, cfg.train.total_iters):
+        maybe_profile(cfg.train.profile_dir, step)
+        batch = next(batches)
+        state, metrics = train_fn(state, batch)
+        train_loss += float(metrics["loss"])
+        train_loss_count += 1
+        timer.tick(cfg.data.train_bs)
+
+        it = step + 1
+        if it % cfg.train.print_iters == 0:
+            avg = train_loss / max(1, train_loss_count)
+            logger.info("Iter : %d \t training loss : %.5f \t img/s : %.1f",
+                        it, avg, timer.rate)
+            writer.write(it, {"train/loss": avg, "train/imgs_per_sec": timer.rate,
+                              "train/grad_norm": float(metrics["grad_norm"])})
+            train_loss, train_loss_count = 0.0, 0
+
+        if it % cfg.train.eval_iters == 0 or it == cfg.train.total_iters:
+            val_loss, cer, wer, _, _ = validate(
+                eval_fn, state.ema_params, state.ema_batch_stats,
+                eval_batches(val_ds, converter, cfg.data.val_bs, max_label_len),
+                converter, sharding=bsh)
+            improved_cer, improved_wer = cer < best_cer, wer < best_wer
+            best_cer, best_wer = min(cer, best_cer), min(wer, best_wer)
+            ckpt.save(state, cer=cer, wer=wer, best_cer=best_cer, best_wer=best_wer,
+                      meta={"config": config_to_dict(cfg)})
+            logger.info("Val. loss : %.3f \t CER : %.4f \t WER : %.4f%s%s",
+                        val_loss, cer, wer,
+                        " [best CER]" if improved_cer else "",
+                        " [best WER]" if improved_wer else "")
+            writer.write(it, {"val/loss": val_loss, "val/CER": cer, "val/WER": wer,
+                              "val/best_CER": best_cer, "val/best_WER": best_wer})
+
+    loader.close()
+    writer.close()
+    return {"best_cer": best_cer, "best_wer": best_wer}

@@ -32,12 +32,17 @@ class TrainState:
 
 
 def create_train_state(cfg: ExperimentConfig, model, rng: jax.Array,
-                       sample_image: jax.Array) -> TrainState:
-    """Initialize parameters/EMA/optimizer from a sample batch shape."""
+                       sample_image: jax.Array, sgm_sample=None) -> TrainState:
+    """Initialize parameters/EMA/optimizer from a sample batch shape.
+    ``sgm_sample``: dummy sgm_left/right/tgt/mask arrays when the SGM head is
+    enabled (its params must exist at init)."""
     init_rng, state_rng = jax.random.split(rng)
+    kwargs = {}
+    if cfg.model.sgm.enable and sgm_sample is not None:
+        kwargs["sgm_batch"] = sgm_sample
     variables = model.init(
         {"params": init_rng, "mask": init_rng, "dropout": init_rng},
-        sample_image, train=False)
+        sample_image, train=False, **kwargs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_base_optimizer(cfg.optim)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from htr_vt_tpu.config import ExperimentConfig
-from htr_vt_tpu.ops.ctc import ctc_loss
+from htr_vt_tpu.ops.ctc import ctc_loss_auto
 from htr_vt_tpu.optim.ema import ema_update
 from htr_vt_tpu.optim.sam import make_base_optimizer, sam_perturb
 from htr_vt_tpu.train.state import TrainState
@@ -35,29 +35,28 @@ TRI_MASK_MODES = (("random", 0.30), ("block", 0.20), ("span_old", 0.20))
 
 
 def _forward_loss(model, cfg: ExperimentConfig, params, batch_stats,
-                  batch: Batch, rng: jax.Array, mask_mode: Optional[str],
-                  sgm_head=None, sgm_params=None, sgm_batch=None):
+                  batch: Batch, rng: jax.Array, mask_mode: Optional[str]):
     """One masked forward + CTC (+ optional SGM) loss. Returns (loss, aux)."""
     mask_rng, drop_rng = jax.random.split(rng)
-    want_feats = cfg.model.sgm.enable
+    use_sgm = cfg.model.sgm.enable and "sgm_tgt" in batch
+    sgm_batch = {k: batch[k] for k in
+                 ("sgm_left", "sgm_right", "sgm_tgt", "sgm_mask")} if use_sgm else None
     out, mutated = model.apply(
         {"params": params, "batch_stats": batch_stats},
         batch["image"], train=True, use_masking=True, mask_mode=mask_mode,
-        return_features=want_feats,
+        sgm_batch=sgm_batch,
         rngs={"mask": mask_rng, "dropout": drop_rng},
         mutable=["batch_stats"])
-    if want_feats:
-        logits, feats = out
+    if use_sgm:
+        logits, loss_sgm = out
     else:
-        logits, feats = out, None
+        logits, loss_sgm = out, None
 
-    loss_ctc = ctc_loss(logits, batch["labels"], batch["label_lengths"]).mean()
+    loss_ctc = ctc_loss_auto(logits, batch["labels"], batch["label_lengths"]).mean()
     aux = {"batch_stats": mutated.get("batch_stats", batch_stats),
            "loss_ctc": loss_ctc}
-    if want_feats and sgm_head is not None:
+    if use_sgm:
         sgm = cfg.model.sgm
-        f = jax.lax.stop_gradient(feats) if sgm.detach_features else feats
-        loss_sgm = sgm_head.apply({"params": sgm_params}, f, **sgm_batch)
         aux["loss_sgm"] = loss_sgm
         loss = sgm.ctc_lambda * loss_ctc + sgm.sgm_lambda * loss_sgm
     else:
@@ -145,7 +144,7 @@ def eval_step(model, cfg: ExperimentConfig, params, batch_stats,
     per-frame argmax and batch-mean CTC loss."""
     logits = model.apply({"params": params, "batch_stats": batch_stats},
                          batch["image"], train=False)
-    loss = ctc_loss(logits, batch["labels"], batch["label_lengths"]).mean()
+    loss = ctc_loss_auto(logits, batch["labels"], batch["label_lengths"]).mean()
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return {"logits": logits, "pred_ids": preds, "loss": loss}
 

@@ -1,0 +1,107 @@
+"""Observability: logger, scalar writers, profiler hooks.
+
+Reference set (SURVEY §2.7): file+stdout logger (model_v1/utils/utils.py:25-39),
+TensorBoard scalars, optional wandb (model_v1/train.py:46-57). Added here
+(reference has none, SURVEY §5): JSONL metric stream for machine consumption
+and jax.profiler trace capture.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Dict, Optional
+
+
+def get_logger(out_dir: str, name: str = "htrvt") -> logging.Logger:
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    if logger.handlers:
+        return logger
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    os.makedirs(out_dir, exist_ok=True)
+    fh = logging.FileHandler(os.path.join(out_dir, "run.log"))
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    logger.propagate = False
+    return logger
+
+
+class ScalarWriter:
+    """Fan-out scalar writer: JSONL always; TensorBoard and wandb when their
+    packages are importable (both optional, mirroring the reference's gating)."""
+
+    def __init__(self, out_dir: str, use_wandb: bool = False,
+                 wandb_project: str = "None", run_name: str = "run",
+                 config: Optional[Dict] = None):
+        os.makedirs(out_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(out_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(out_dir)
+        except Exception:
+            pass
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                wandb.init(project=wandb_project, name=run_name, config=config,
+                           dir=out_dir)
+                self._wandb = wandb
+            except Exception:
+                pass
+
+    def write(self, step: int, scalars: Dict[str, float]) -> None:
+        rec = {"step": int(step), "time": time.time()}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), int(step))
+        if self._wandb is not None:
+            self._wandb.log(scalars, step=int(step))
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+class StepTimer:
+    """Rolling images/sec tracker (the framework's perf counter; the
+    reference logs none)."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self._t = time.perf_counter()
+        self._steps = 0
+        self.rate = 0.0
+
+    def tick(self, batch_size: int) -> None:
+        self._steps += 1
+        if self._steps % self.window == 0:
+            now = time.perf_counter()
+            self.rate = self.window * batch_size / (now - self._t)
+            self._t = now
+
+
+def maybe_profile(profile_dir: Optional[str], step: int,
+                  start_step: int = 10, num_steps: int = 5):
+    """Capture a jax.profiler trace for steps [start, start+num)."""
+    import jax
+    if profile_dir is None:
+        return
+    if step == start_step:
+        jax.profiler.start_trace(profile_dir)
+    elif step == start_step + num_steps:
+        jax.profiler.stop_trace()

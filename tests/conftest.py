@@ -14,6 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize registers the TPU backend programmatically and can
+# override JAX_PLATFORMS; this config update is authoritative (must run
+# before any backend is initialized).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache makes repeated test runs fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/htrvt_jax_cache")
