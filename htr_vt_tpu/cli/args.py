@@ -107,6 +107,8 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         sgm=SGMConfig(enable=args.sgm_enable, detach_features=args.sgm_detach,
                       sgm_lambda=args.sgm_lambda, ctc_lambda=args.ctc_lambda,
                       sub_len=args.sgm_sub_len, warmup_iters=args.sgm_warmup_iters))
+    from htr_vt_tpu.models.variants import apply_variant_preset
+    model = apply_variant_preset(model)
 
     optim = dataclasses.replace(
         cfg.optim, max_lr=args.max_lr, weight_decay=args.weight_decay,

@@ -16,7 +16,7 @@ import numpy as np
 from htr_vt_tpu.cli.args import args_to_config, build_parser
 from htr_vt_tpu.data.loader import build_dataset, choose_max_label_len, eval_batches, make_converter
 from htr_vt_tpu.eval.validate import validate
-from htr_vt_tpu.models.htr_vt import HTRVT
+from htr_vt_tpu.models.htr_vt import build_model
 from htr_vt_tpu.parallel.mesh import batch_sharding, make_mesh
 from htr_vt_tpu.text.metrics import per_sample_cer_wer
 from htr_vt_tpu.train.checkpoint import CheckpointManager
@@ -41,7 +41,7 @@ def main() -> None:
     import dataclasses
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, nb_cls=converter.num_classes))
-    model = HTRVT(cfg.model)
+    model = build_model(cfg.model)
     max_label_len = choose_max_label_len(train_ds.labels, cfg.model.num_tokens)
 
     sample = np.zeros((cfg.data.val_bs, *cfg.model.img_size, 1), np.float32)

@@ -58,6 +58,8 @@ class ModelConfig:
     #   vit (model_v1) | window (model_window) | macaron | localglobal | lgp |
     #   conformer | squeezeformer | swin | svtr | van | van2
     encoder: str = "vit"
+    # Feature stem: resnet18 (baseline) | van | van2 (VAN height reducers).
+    stem: str = "resnet18"
     nb_cls: int = 80
     img_size: Tuple[int, int] = (64, 512)  # (H, W)
     patch_size: Tuple[int, int] = (4, 64)  # (w_stride, h_stride) as in reference create_model
@@ -83,8 +85,9 @@ class ModelConfig:
     # Local-global variants.
     local_window: int = 12
     global_pool_len: int = 64
-    # Conformer / SqueezeFormer.
-    conv_kernel: int = 7
+    # Conformer / SqueezeFormer depthwise kernel (ConvModule default k=3,
+    # model_sgm_mms_conv/model/HTR_VT.py:124).
+    conv_kernel: int = 3
     # SVTR preset name (tiny/small/base) when encoder == "svtr".
     svtr_preset: str = "tiny"
     # Computation dtype for matmuls ("bfloat16" for TPU speed, "float32" for parity tests).

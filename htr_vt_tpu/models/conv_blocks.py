@@ -1,0 +1,176 @@
+"""Convolutional sequence-mixing blocks: macaron conv mixers, Conformer,
+SqueezeFormer.
+
+Covers three reference variant families with shared primitives:
+- model_sgm_macaron(_2): ConvLocalMixer1D x2 ahead of the ViT stack
+  (model_sgm_macaron/model/HTR_VT.py:148-181).
+- model_sgm_mms_conv: Conformer blocks (half-FFN -> MHSA -> ConvModule ->
+  half-FFN -> LN) with a GLU'd depthwise ConvModule using GroupNorm
+  (model_sgm_mms_conv/model/HTR_VT.py:117-240).
+- model_sgm_mms_conv_squeeze: adds SqueezeExcite1D gating and sequence
+  down/up-sampling (model_sgm_mms_conv_squeeze/model/HTR_VT.py:169-230).
+
+Depthwise 1-D convs are expressed as feature-grouped ``nn.Conv`` over the
+token axis — XLA maps them to efficient VPU/MXU code with NWC layout.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from htr_vt_tpu.models.layers import DropPath, Mlp
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+def _glu(x: jax.Array, axis: int = -1) -> jax.Array:
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+class ConvLocalMixer1D(nn.Module):
+    """LN -> Dense(2D) -> GLU -> depthwise conv(k) -> BN -> SiLU -> Dense -> drop,
+    residual (model_sgm_macaron/model/HTR_VT.py:148-181)."""
+
+    kernel_size: int = 7
+    drop_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True, train: Optional[bool] = None):
+        train = (not deterministic) if train is None else train
+        d = x.shape[-1]
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        y = nn.Dense(2 * d, dtype=self.dtype, kernel_init=_XAVIER, name="pw_in")(y)
+        y = _glu(y)
+        y = nn.Conv(d, (self.kernel_size,), padding="SAME", feature_group_count=d,
+                    dtype=self.dtype, name="dwconv")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=jnp.float32, name="bn")(y).astype(self.dtype)
+        y = nn.silu(y)
+        y = nn.Dense(d, dtype=self.dtype, kernel_init=_XAVIER, name="pw_out")(y)
+        y = nn.Dropout(self.drop_rate, deterministic=deterministic)(y)
+        return x + y
+
+
+class ConvModule(nn.Module):
+    """Conformer conv module: LN -> pw conv -> GLU -> dw conv -> GroupNorm(1)
+    -> SiLU -> pw conv -> drop, residual inside
+    (model_sgm_mms_conv/model/HTR_VT.py:117-166)."""
+
+    kernel_size: int = 3
+    drop_rate: float = 0.1
+    drop_path: float = 0.0
+    expansion: float = 1.0
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        d = x.shape[-1]
+        hidden = int(d * self.expansion)
+        use_glu = hidden % 2 == 0
+        inner = hidden // 2 if use_glu else hidden
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        y = nn.Dense(hidden, dtype=self.dtype, name="pw1")(y)  # 1x1 conv == Dense
+        if use_glu:
+            y = _glu(y)
+        y = nn.Conv(inner, (self.kernel_size,), padding="SAME",
+                    feature_group_count=inner, dtype=self.dtype, name="dw")(y)
+        y = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32,
+                         name="gn")(y).astype(self.dtype)
+        y = nn.silu(y)
+        y = nn.Dense(d, dtype=self.dtype, name="pw2")(y)
+        y = nn.Dropout(self.drop_rate, deterministic=deterministic)(y)
+        y = DropPath(self.drop_path, name="dp")(y, deterministic=deterministic)
+        return x + y
+
+
+class SqueezeExcite1D(nn.Module):
+    """Mean-pool over tokens, two-layer gate, channel-wise sigmoid scaling
+    (model_sgm_mms_conv_squeeze/model/HTR_VT.py:169-189)."""
+
+    se_ratio: float = 0.25
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        hidden = max(8, int(d * self.se_ratio))
+        s = x.mean(axis=1).astype(self.dtype)
+        s = nn.Dense(hidden, dtype=self.dtype, name="fc1")(s)
+        s = nn.silu(s)
+        s = nn.Dense(d, dtype=self.dtype, name="fc2")(s)
+        return x * jax.nn.sigmoid(s)[:, None, :].astype(x.dtype)
+
+
+def downsample_tokens(x: jax.Array) -> jax.Array:
+    """Average-pool the token axis by 2 (Downsample1D, :190-207)."""
+    b, n, d = x.shape
+    if n <= 1:
+        return x
+    return x.reshape(b, n // 2, 2, d).mean(axis=2)
+
+
+def upsample_tokens(x: jax.Array, target_len: int) -> jax.Array:
+    """Nearest-neighbor upsample back to target_len (Upsample1D, :209-225)."""
+    b, n, d = x.shape
+    if n == target_len:
+        return x
+    reps = target_len // n
+    return jnp.repeat(x, reps, axis=1)[:, :target_len]
+
+
+class ConformerBlock(nn.Module):
+    """Half-FFN -> MHSA -> ConvModule -> half-FFN -> final LN
+    (model_sgm_mms_conv/model/HTR_VT.py:228+); macaron-halved FFNs scaled 0.5.
+    With ``use_se`` it becomes the SqueezeFormer block (SE after conv,
+    model_sgm_mms_conv_squeeze SqueezeConformerBlock)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    ff_drop: float = 0.1
+    attn_drop: float = 0.0
+    conv_drop: float = 0.1
+    conv_kernel: int = 3
+    drop_path: float = 0.0
+    use_se: bool = False
+    layer_norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        from htr_vt_tpu.models.vit import Attention
+        d = x.shape[-1]
+        norm = lambda name: nn.LayerNorm(epsilon=self.layer_norm_eps,
+                                         dtype=jnp.float32, name=name)
+        dp = DropPath(self.drop_path, name="dp")
+
+        ff1 = Mlp(int(d * self.mlp_ratio), drop_rate=self.ff_drop,
+                  dtype=self.dtype, name="ffn1")
+        x = x + dp(0.5 * ff1(norm("ffn1_norm")(x).astype(self.dtype),
+                             deterministic=deterministic),
+                   deterministic=deterministic)
+
+        attn = Attention(self.num_heads, qkv_bias=True, attn_drop=self.attn_drop,
+                         proj_drop=self.ff_drop, dtype=self.dtype, name="attn")
+        x = x + dp(attn(norm("attn_norm")(x).astype(self.dtype),
+                        deterministic=deterministic),
+                   deterministic=deterministic)
+
+        x = ConvModule(kernel_size=self.conv_kernel, drop_rate=self.conv_drop,
+                       drop_path=self.drop_path, dtype=self.dtype,
+                       name="conv")(x, deterministic=deterministic)
+        if self.use_se:
+            x = SqueezeExcite1D(dtype=self.dtype, name="se")(x)
+
+        ff2 = Mlp(int(d * self.mlp_ratio), drop_rate=self.ff_drop,
+                  dtype=self.dtype, name="ffn2")
+        x = x + dp(0.5 * ff2(norm("ffn2_norm")(x).astype(self.dtype),
+                             deterministic=deterministic),
+                   deterministic=deterministic)
+        return norm("final_norm")(x).astype(x.dtype)

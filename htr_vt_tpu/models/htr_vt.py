@@ -49,7 +49,13 @@ class HTRVT(nn.Module):
         if cfg.input_layer_norm:
             x = global_layer_norm(x)
 
-        x = ResNet18Stem(embed_dim=cfg.embed_dim, dtype=dtype, name="stem")(x, train=train)
+        if cfg.stem in ("van", "van2"):
+            from htr_vt_tpu.models.van import VanStem
+            x = VanStem(embed_dim=cfg.embed_dim, variant=cfg.stem, dtype=dtype,
+                        name="stem")(x, train=train)
+        else:
+            x = ResNet18Stem(embed_dim=cfg.embed_dim, dtype=dtype,
+                             name="stem")(x, train=train)
         b = x.shape[0]
         tokens = x.reshape(b, -1, cfg.embed_dim)  # [B, N, D]
         n = tokens.shape[1]
@@ -64,7 +70,11 @@ class HTRVT(nn.Module):
             tokens = masking.apply_mask(tokens, keep, mask_token)
 
         if cfg.use_abs_pos_embed:
-            pos = sincos_pos_embed_2d(cfg.embed_dim, cfg.grid_size)  # static numpy
+            # VAN stems emit a purely sequential token row; the reference
+            # rebuilds a (1, N) sin-cos embedding for it
+            # (model_sgm_mms_attach_van/model/HTR_VT.py:450-457).
+            grid = (1, n) if cfg.stem in ("van", "van2") else cfg.grid_size
+            pos = sincos_pos_embed_2d(cfg.embed_dim, grid)  # static numpy
             tokens = tokens + jnp.asarray(pos, dtype)[None, :n]
 
         for block in build_encoder_blocks(cfg):
@@ -96,6 +106,19 @@ class HTRVT(nn.Module):
         if return_features:
             return logits, feats
         return logits
+
+
+def build_model(cfg: ModelConfig) -> nn.Module:
+    """Model factory over the whole zoo: HTRVT hosts the block-recipe
+    encoders; Swin and SVTR restructure the stem/stage layout and are
+    standalone modules."""
+    if cfg.encoder == "swin":
+        from htr_vt_tpu.models.swin import HTRSwin
+        return HTRSwin(cfg)
+    if cfg.encoder == "svtr":
+        from htr_vt_tpu.models.svtr import SVTR
+        return SVTR(cfg)
+    return HTRVT(cfg)
 
 
 def create_model(nb_cls: int = 80, img_size=(64, 512), **overrides) -> HTRVT:

@@ -16,7 +16,7 @@ data parallelism without any hand-written collective.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -60,14 +60,20 @@ def _max_pool_3x3(x, strides: Tuple[int, int]):
 
 
 class ResNet18Stem(nn.Module):
-    """Maps [B, H, W, 1] -> [B, H/64, W/4, embed_dim] (NHWC)."""
+    """Maps [B, H, W, 1] -> [B, H', W', widths[-1]] (NHWC).
+
+    Default plan reproduces the baseline stem ([B,64,512,1] -> [B,1,128,D]).
+    The VAN variants truncate stages and change strides
+    (model_sgm_mms_attach_van/model/resnet18.py:42-84 stops after layer2 with
+    layer1 stride (2,2) and no final pool; the van_2 resnet adds a full-width
+    layer3 with stride (1,2)) — expressed here as data.
+    """
 
     embed_dim: int = 768
     dtype: jnp.dtype = jnp.bfloat16
-    # Stage stride plan; the van_2 variant widens width downsampling
-    # (model_sgm_mms_attach_van_2/model/resnet18.py:55-57,84 adds an extra
-    # stage and changes stage strides) — expressed here as a config.
+    widths: Optional[Sequence[int]] = None  # default: [D/4, D/2, D]
     stage_strides: Sequence[Tuple[int, int]] = ((2, 1), (2, 2), (2, 2))
+    final_maxpool: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -80,7 +86,8 @@ class ResNet18Stem(nn.Module):
         x = nn.relu(x)
         x = _max_pool_3x3(x, (2, 1))
 
-        widths = [self.embed_dim // 4, self.embed_dim // 2, self.embed_dim]
+        widths = list(self.widths) if self.widths is not None else \
+            [self.embed_dim // 4, self.embed_dim // 2, self.embed_dim]
         in_width = c
         for si, (w, strides) in enumerate(zip(widths, self.stage_strides)):
             needs_proj = strides != (1, 1) or in_width != w
@@ -90,5 +97,6 @@ class ResNet18Stem(nn.Module):
                            name=f"stage{si + 1}_block2")(x, train=train)
             in_width = w
 
-        x = _max_pool_3x3(x, (2, 1))
+        if self.final_maxpool:
+            x = _max_pool_3x3(x, (2, 1))
         return x

@@ -1,17 +1,23 @@
 """Encoder recipes: one registered builder per reference variant.
 
 Each builder returns the list of token-mixing blocks for HTRVT. Implemented
-recipes (round 1): vit (model_v1), window (model_window). Further variants
-(macaron, localglobal, lgp, conformer, squeezeformer, van) register here as
-they land; swin and svtr are standalone models in their own modules.
+recipes: vit (model_v1), window (model_window), macaron / macaron_2
+(model_sgm_macaron*), localglobal (model_sgm_localglobal), lgp (model_lgp),
+conformer (model_sgm_mms_conv), squeezeformer (model_sgm_mms_conv_squeeze).
+Swin and SVTR restructure the whole model (different stems/merging), so they
+are standalone model classes in their own modules, not block recipes.
 """
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax.numpy as jnp
 
 from htr_vt_tpu.config import ModelConfig
+from htr_vt_tpu.models.conv_blocks import ConformerBlock, ConvLocalMixer1D
 from htr_vt_tpu.models.layers import drop_path_schedule
+from htr_vt_tpu.models.localglobal import LocalBlock1D, LocalGlobalParallelBlock
 from htr_vt_tpu.models.registry import register_encoder
 from htr_vt_tpu.models.vit import Block
 
@@ -50,3 +56,134 @@ def window_blocks(cfg: ModelConfig):
                   layer_norm_eps=cfg.layer_norm_eps, attention=kind,
                   window_size=cfg.window_size, dtype=dtype, name=f"block{i}"))
     return blocks
+
+
+def _global_block(cfg: ModelConfig, i: int, drop=0.0, attn_drop=0.0,
+                  mlp_ratio=None, num_heads=None):
+    return Block(num_heads=num_heads or cfg.num_heads,
+                 mlp_ratio=mlp_ratio or cfg.mlp_ratio, qkv_bias=True,
+                 drop=drop, attn_drop=attn_drop,
+                 layer_norm_eps=cfg.layer_norm_eps, attention="global",
+                 dtype=jnp.dtype(cfg.compute_dtype), name=f"block{i}")
+
+
+@register_encoder("macaron")
+def macaron_blocks(cfg: ModelConfig):
+    """model_sgm_macaron: two ConvLocalMixer1D (k=7, drop 0.1) ahead of 4
+    global blocks with drop=attn_drop=0.1, mlp_ratio 3
+    (model_sgm_macaron/model/HTR_VT.py:302-316)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    mixers = [ConvLocalMixer1D(kernel_size=cfg.macaron_kernel, drop_rate=0.1,
+                               dtype=dtype, name=f"mixer{i}")
+              for i in range(cfg.num_macaron_blocks)]
+    blocks = [_global_block(cfg, i, drop=0.1, attn_drop=0.1, mlp_ratio=3.0)
+              for i in range(cfg.depth)]
+    return mixers + blocks
+
+
+@register_encoder("macaron_2")
+def macaron2_blocks(cfg: ModelConfig):
+    """model_sgm_macaron_2: same mixers; global blocks with heads 4,
+    mlp_ratio 4, no dropout (diff at model/HTR_VT.py:309-316)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    mixers = [ConvLocalMixer1D(kernel_size=cfg.macaron_kernel, drop_rate=0.1,
+                               dtype=dtype, name=f"mixer{i}")
+              for i in range(cfg.num_macaron_blocks)]
+    blocks = [_global_block(cfg, i, mlp_ratio=4.0, num_heads=4)
+              for i in range(cfg.depth)]
+    return mixers + blocks
+
+
+@register_encoder("localglobal")
+def localglobal_blocks(cfg: ModelConfig):
+    """model_sgm_localglobal: [local window, local shifted, global, global]
+    with window 12 (model_sgm_localglobal/model/HTR_VT.py:364-375)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    return [
+        LocalBlock1D(cfg.num_heads, cfg.local_window, shifted=False,
+                     mlp_ratio=cfg.mlp_ratio, layer_norm_eps=cfg.layer_norm_eps,
+                     dtype=dtype, name="block0"),
+        LocalBlock1D(cfg.num_heads, cfg.local_window, shifted=True,
+                     mlp_ratio=cfg.mlp_ratio, layer_norm_eps=cfg.layer_norm_eps,
+                     dtype=dtype, name="block1"),
+        _global_block(cfg, 2),
+        _global_block(cfg, 3),
+    ]
+
+
+@register_encoder("lgp")
+def lgp_blocks(cfg: ModelConfig):
+    """model_lgp: every block is a parallel local||pooled-global fusion block
+    (window 12, G=64, alpha 0.4) — model_lgp/model/plg.py:172-212; the lgp
+    config uses depth 3."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    return [
+        LocalGlobalParallelBlock(cfg.num_heads, cfg.local_window,
+                                 g_tokens=cfg.global_pool_len,
+                                 mlp_ratio=cfg.mlp_ratio,
+                                 layer_norm_eps=cfg.layer_norm_eps,
+                                 dtype=dtype, name=f"block{i}")
+        for i in range(cfg.depth)
+    ]
+
+
+@register_encoder("conformer")
+def conformer_blocks(cfg: ModelConfig):
+    """model_sgm_mms_conv: Conformer blocks (half-FFN/MHSA/ConvModule/half-FFN)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    return [ConformerBlock(num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
+                           conv_kernel=cfg.conv_kernel,
+                           layer_norm_eps=cfg.layer_norm_eps, dtype=dtype,
+                           name=f"block{i}")
+            for i in range(cfg.depth)]
+
+
+@register_encoder("squeezeformer")
+def squeezeformer_blocks(cfg: ModelConfig):
+    """model_sgm_mms_conv_squeeze: Conformer blocks with SqueezeExcite gating
+    (architecture='squeezeformer' path, model/HTR_VT.py:553,569-570,880-894)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    return [ConformerBlock(num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
+                           conv_kernel=cfg.conv_kernel, use_se=True,
+                           layer_norm_eps=cfg.layer_norm_eps, dtype=dtype,
+                           name=f"block{i}")
+            for i in range(cfg.depth)]
+
+
+# ---------------------------------------------------------------------------
+# Per-variant ModelConfig presets (the reference hard-codes these in each
+# variant's create_model; here they are data).
+# ---------------------------------------------------------------------------
+VARIANT_PRESETS = {
+    "vit": {},
+    "window": dict(use_abs_pos_embed=False, logit_layer_norm=False,
+                   drop_path_rate=0.1),
+    "macaron": {},
+    "macaron_2": {},
+    "localglobal": {},
+    "lgp": dict(depth=3),
+    "conformer": {},
+    "squeezeformer": {},
+    "van": dict(stem="van"),
+    "van2": dict(stem="van2"),
+    "swin": {},
+    "svtr": {},
+}
+
+
+def apply_variant_preset(cfg: ModelConfig) -> ModelConfig:
+    preset = VARIANT_PRESETS.get(cfg.encoder, {})
+    return dataclasses.replace(cfg, **preset) if preset else cfg
+
+
+@register_encoder("van")
+def van_blocks(cfg: ModelConfig):
+    """model_sgm_mms_attach_van: VAN height-reducer stem (cfg.stem='van') +
+    the baseline global ViT stack (model_sgm_mms_attach_van/model/HTR_VT.py:297-301)."""
+    return vit_blocks(cfg)
+
+
+@register_encoder("van2")
+def van2_blocks(cfg: ModelConfig):
+    """model_sgm_mms_attach_van_2: same, with the wider-downsampling resnet."""
+    return vit_blocks(cfg)

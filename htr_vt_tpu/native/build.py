@@ -78,3 +78,5 @@ def _configure(lib: ctypes.CDLL) -> None:
         lib.htrvt_ngram_free.argtypes = [ctypes.c_void_p]
         lib.htrvt_ngram_score.restype = ctypes.c_double
         lib.htrvt_ngram_score.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.htrvt_ngram_order.restype = ctypes.c_int
+        lib.htrvt_ngram_order.argtypes = [ctypes.c_void_p]

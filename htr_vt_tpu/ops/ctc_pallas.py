@@ -188,8 +188,12 @@ def ctc_loss_pallas(logits: jax.Array, labels: jax.Array,
     z, noskip, valid, start2, endm = _extended(labels, label_lengths, blank)
 
     logp = jax.nn.log_softmax(logits, axis=-1)
-    lp = jnp.take_along_axis(logp, jnp.broadcast_to(z[:, None, :], (b, t, z.shape[1])),
-                             axis=2)
+    # Gather at extended labels expressed as a one-hot matmul: XLA's native
+    # gather costs ~33 ms here on a v5e, the MXU matmul ~2 ms — and with
+    # HIGHEST precision it is bit-exact (one-hot rows select single values).
+    onehot = jax.nn.one_hot(z, c, dtype=jnp.float32)  # [B, S, C]
+    lp = jnp.einsum("btc,bsc->bts", logp, onehot,
+                    precision=jax.lax.Precision.HIGHEST)
     f32 = lambda m: m.astype(jnp.float32)
     loss = _ctc_neglogp(lp, f32(valid), f32(noskip), f32(start2), f32(endm),
                         _pick_tile(b))

@@ -21,7 +21,7 @@ from htr_vt_tpu.config import ExperimentConfig, config_to_dict
 from htr_vt_tpu.data.loader import (TrainLoader, build_dataset, choose_max_label_len,
                                     device_prefetch, eval_batches, make_converter)
 from htr_vt_tpu.eval.validate import validate
-from htr_vt_tpu.models.htr_vt import HTRVT
+from htr_vt_tpu.models.htr_vt import build_model
 from htr_vt_tpu.parallel.mesh import batch_sharding, make_mesh, maybe_initialize_distributed
 from htr_vt_tpu.train.checkpoint import CheckpointManager
 from htr_vt_tpu.train.state import TrainState, create_train_state, param_count
@@ -62,7 +62,7 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
         sgm_sample = make_context_arrays([""], sgm_vocab, max_label_len, sub_len)
         sgm_sample = {k: np.repeat(v, cfg.data.train_bs, axis=0)
                       for k, v in sgm_sample.items()}
-    model = HTRVT(cfg.model)
+    model = build_model(cfg.model)
     logger.info("train=%d val=%d alphabet=%d max_label_len=%d",
                 len(train_ds), len(val_ds), converter.num_classes, max_label_len)
 

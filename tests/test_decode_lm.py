@@ -1,0 +1,98 @@
+"""Beam search + n-gram LM scoring."""
+
+import math
+
+import numpy as np
+import pytest
+
+from htr_vt_tpu.decode.beam import (collapse_sequence, prefix_beam_search,
+                                    simple_beam_search)
+from htr_vt_tpu.decode.lm import NgramScorer, _PythonArpa, rescore_candidates
+
+ARPA = """
+\\data\\
+ngram 1=5
+ngram 2=4
+
+\\1-grams:
+-1.0\t<s>\t-0.5
+-1.2\t</s>
+-0.8\tthe\t-0.3
+-1.0\tcat\t-0.4
+-1.5\tdog
+
+\\2-grams:
+-0.3\t<s> the
+-0.4\tthe cat
+-0.6\tthe dog
+-0.2\tcat </s>
+
+\\end\\
+"""
+
+
+@pytest.fixture(scope="module")
+def arpa_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("lm") / "tiny.arpa"
+    p.write_text(ARPA)
+    return str(p)
+
+
+def _manual_score_the_cat():
+    # p(the|<s>) = -0.3 (bigram), p(cat|the) = -0.4, p(</s>|cat) = -0.2
+    return -0.3 + -0.4 + -0.2
+
+
+def test_python_arpa_backoff(arpa_path):
+    lm = _PythonArpa(arpa_path)
+    assert lm.order == 2
+    assert abs(lm.score("the cat") - _manual_score_the_cat()) < 1e-6
+    # "the dog": p(dog|the)=-0.6; p(</s>|dog) backs off: bo(dog)=0 + p(</s>)=-1.2
+    assert abs(lm.score("the dog") - (-0.3 - 0.6 + (0.0 - 1.2))) < 1e-6
+
+
+def test_native_matches_python(arpa_path):
+    from htr_vt_tpu.native.build import load_native
+    if load_native() is None:
+        pytest.skip("no native lib")
+    scorer = NgramScorer(arpa_path)
+    py = _PythonArpa(arpa_path)
+    for s in ["the cat", "the dog", "cat", "zebra the cat", ""]:
+        assert abs(scorer.score(s) - py.score(s)) < 1e-5, s
+
+
+def test_prefix_beam_matches_exhaustive():
+    """Beam result must equal exhaustive CTC marginalization on a tiny case."""
+    rng = np.random.default_rng(0)
+    t, c = 5, 3
+    logits = rng.standard_normal((t, c))
+    logp = logits - np.log(np.exp(logits).sum(1, keepdims=True))
+
+    # exhaustive: sum path probs per collapsed sequence
+    from itertools import product
+    totals = {}
+    for path in product(range(c), repeat=t):
+        lp = sum(logp[i, s] for i, s in enumerate(path))
+        key = tuple(collapse_sequence(path))
+        totals[key] = np.logaddexp(totals.get(key, -np.inf), lp)
+    best_exh = max(totals.items(), key=lambda kv: kv[1])
+
+    beams = prefix_beam_search(logp, beam_width=50, top_k_per_frame=c)
+    assert beams[0][0] == best_exh[0]
+    assert abs(beams[0][1] - best_exh[1]) < 1e-6
+
+
+def test_simple_beam_reference_semantics():
+    logp = np.log(np.array([[0.6, 0.3, 0.1],
+                            [0.1, 0.8, 0.1],
+                            [0.7, 0.2, 0.1]]))
+    beams = simple_beam_search(logp, beam_width=2, top_k_per_frame=2)
+    # greedy path 0,1,0 must be the top beam
+    assert beams[0][0] == [0, 1, 0]
+    assert collapse_sequence(beams[0][0]) == [1]
+
+
+def test_rescore_candidates(arpa_path):
+    scorer = NgramScorer(arpa_path)
+    out = rescore_candidates([("the dog", -1.0), ("the cat", -2.0)], scorer)
+    assert out[0][0] == "the cat"  # LM prefers cat despite worse CTC score
