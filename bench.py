@@ -9,9 +9,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
 the denominator is an engineering estimate of the reference stack on its
-RTX-4090: ~33 GFLOPs/image/iteration (fwd+bwd x2 SAM passes) at ~35% fp16
-utilization with PyTorch eager + Python-loop masking => ~600 img/s. The
-BASELINE.json north star (>=5x img/s/chip) is value/600 >= 5.
+RTX-4090. FLOP accounting: one forward is ~37 GFLOPs/image (ResNet stem ~30,
+ViT blocks ~7 at 128 tokens); a SAM iteration is 2x(fwd+bwd) ~ 6x forward
+~ 222 GFLOPs/image. The reference trains in plain fp32 (no autocast/AMP
+anywhere in its train loops), so the 4090 runs TF32 tensor cores at a
+realistic 45-55 TFLOP/s sustained for conv/attention eager workloads =>
+~200-250 img/s. We use 250 (the generous end). The BASELINE.json north star
+(>=5x img/s/chip) is value/250 >= 5.
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ import time
 
 import numpy as np
 
-REFERENCE_IMGS_PER_SEC = 600.0  # documented estimate, see module docstring
+REFERENCE_IMGS_PER_SEC = 250.0  # documented estimate, see module docstring
 
 
 def main() -> None:
@@ -58,16 +62,17 @@ def main() -> None:
 
     train_fn = jit_train_step(model, cfg, donate=True)
 
-    # Warmup / compile.
+    # Warmup / compile. Block on the FULL state: blocking only on a single
+    # scalar lets the async runtime under-report (observed 100x).
     for _ in range(3):
         state, metrics = train_fn(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready(state)
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_fn(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = iters * batch_size / dt

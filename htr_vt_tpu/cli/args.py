@@ -45,6 +45,20 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--num-heads", type=int, default=6)
 
+    # encoder-decoder (reference model_v1/utils/option.py:70-101)
+    p.add_argument("--model-type", type=str, default="ctc",
+                   choices=["ctc", "encoder_decoder"])
+    p.add_argument("--decoder-layers", type=int, default=6)
+    p.add_argument("--decoder-heads", type=int, default=8)
+    p.add_argument("--max-seq-len", type=int, default=256)
+    p.add_argument("--label-smoothing", type=float, default=0.1)
+    p.add_argument("--beam-size", type=int, default=5)
+    p.add_argument("--generation-method", type=str, default="greedy",
+                   choices=["greedy", "nucleus", "beam_search"])
+    p.add_argument("--generation-temperature", type=float, default=0.7)
+    p.add_argument("--repetition-penalty", type=float, default=1.3)
+    p.add_argument("--top-p", type=float, default=0.9)
+
     # sgm
     p.add_argument("--sgm-enable", action="store_true", default=False)
     p.add_argument("--sgm-detach", action="store_true", default=False)
@@ -102,6 +116,9 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         img_size=img_size,
         compute_dtype=args.compute_dtype,
         embed_dim=args.embed_dim, depth=args.depth, num_heads=args.num_heads,
+        model_type=args.model_type, decoder_layers=args.decoder_layers,
+        decoder_heads=args.decoder_heads, max_seq_len=args.max_seq_len,
+        label_smoothing=args.label_smoothing,
         masking=MaskConfig(mode=args.mask_mode, ratio=args.mask_ratio,
                            max_span_length=args.max_span_length),
         sgm=SGMConfig(enable=args.sgm_enable, detach_features=args.sgm_detach,

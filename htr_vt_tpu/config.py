@@ -60,6 +60,14 @@ class ModelConfig:
     encoder: str = "vit"
     # Feature stem: resnet18 (baseline) | van | van2 (VAN height reducers).
     stem: str = "resnet18"
+    # Head family: ctc (reference default) | encoder_decoder (autoregressive;
+    # reference flags model_v1/utils/option.py:70-101, model missing upstream).
+    model_type: str = "ctc"
+    decoder_layers: int = 6
+    decoder_heads: int = 8
+    max_seq_len: int = 256
+    label_smoothing: float = 0.1
+    ed_vocab_size: int = 0  # set by the trainer from the tokenizer
     nb_cls: int = 80
     img_size: Tuple[int, int] = (64, 512)  # (H, W)
     patch_size: Tuple[int, int] = (4, 64)  # (w_stride, h_stride) as in reference create_model

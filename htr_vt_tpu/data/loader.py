@@ -153,7 +153,8 @@ class TrainLoader:
 
 
 def eval_batches(dataset, converter: CTCLabelConverter, batch_size: int,
-                 max_label_len: int) -> Iterator[Tuple[Dict[str, np.ndarray], int, List[str]]]:
+                 max_label_len: int,
+                 extras_fn=None) -> Iterator[Tuple[Dict[str, np.ndarray], int, List[str]]]:
     """Sequential fixed-shape eval batches. The last batch is padded by
     repeating sample 0; yields (batch, num_valid, texts) so metrics skip the
     padding. Fixed shapes keep eval on the single compiled XLA program."""
@@ -167,7 +168,8 @@ def eval_batches(dataset, converter: CTCLabelConverter, batch_size: int,
             im, tx = dataset[i]
             images.append(im)
             texts.append(tx)
-        batch = collate(images, texts, converter, max_label_len)
+        batch = collate(images, texts, converter, max_label_len,
+                        extras_fn=extras_fn)
         yield batch, valid, texts[:valid]
 
 

@@ -111,7 +111,14 @@ class HTRVT(nn.Module):
 def build_model(cfg: ModelConfig) -> nn.Module:
     """Model factory over the whole zoo: HTRVT hosts the block-recipe
     encoders; Swin and SVTR restructure the stem/stage layout and are
-    standalone modules."""
+    standalone modules; encoder_decoder wraps the trunk with an
+    autoregressive decoder."""
+    if cfg.model_type == "encoder_decoder":
+        from htr_vt_tpu.models.encoder_decoder import HTREncoderDecoder
+        return HTREncoderDecoder(cfg, vocab_size=cfg.ed_vocab_size,
+                                 decoder_layers=cfg.decoder_layers,
+                                 decoder_heads=cfg.decoder_heads,
+                                 max_seq_len=cfg.max_seq_len)
     if cfg.encoder == "swin":
         from htr_vt_tpu.models.swin import HTRSwin
         return HTRSwin(cfg)

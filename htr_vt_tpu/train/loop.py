@@ -49,8 +49,18 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
     num_frames = cfg.model.num_tokens
     max_label_len = choose_max_label_len(train_ds.labels, num_frames)
 
-    sgm_extras_fn, sgm_sample = None, None
-    if cfg.model.sgm.enable:
+    sgm_extras_fn, sgm_sample, ed_tokenizer = None, None, None
+    if cfg.model.model_type == "encoder_decoder":
+        from htr_vt_tpu.text.ed_tokenizer import EDTokenizer
+        ed_tokenizer = EDTokenizer.from_ctc_converter(converter)
+        ed_len = min(max_label_len + 2, cfg.model.max_seq_len)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, ed_vocab_size=ed_tokenizer.vocab_size))
+
+        def sgm_extras_fn(texts):  # reuse the extras hook for ED arrays
+            tin, tout, tlen = ed_tokenizer.encode_for_training(texts, ed_len)
+            return {"ed_input": tin, "ed_output": tout, "ed_lengths": tlen}
+    elif cfg.model.sgm.enable:
         from htr_vt_tpu.models.sgm import SGMVocab, make_context_arrays
         sgm_vocab = SGMVocab(converter)
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
@@ -90,7 +100,13 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
     batches = device_prefetch(iter(loader), bsh)
 
     train_fn = jit_train_step(model, cfg, donate=cfg.train.donate_state)
-    eval_fn = jit_eval_step(model, cfg)
+    if cfg.model.model_type == "encoder_decoder":
+        from htr_vt_tpu.train.step import jit_eval_step_ed
+        eval_fn = jit_eval_step_ed(model, cfg)
+        eval_codec = ed_tokenizer
+    else:
+        eval_fn = jit_eval_step(model, cfg)
+        eval_codec = converter
     writer = ScalarWriter(save_dir, cfg.train.use_wandb, cfg.train.wandb_project,
                           cfg.train.exp_name, config_to_dict(cfg))
     timer = StepTimer()
@@ -115,10 +131,12 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
             train_loss, train_loss_count = 0.0, 0
 
         if it % cfg.train.eval_iters == 0 or it == cfg.train.total_iters:
+            eval_extras = sgm_extras_fn if cfg.model.model_type == "encoder_decoder" else None
             val_loss, cer, wer, _, _ = validate(
                 eval_fn, state.ema_params, state.ema_batch_stats,
-                eval_batches(val_ds, converter, cfg.data.val_bs, max_label_len),
-                converter, sharding=bsh)
+                eval_batches(val_ds, converter, cfg.data.val_bs, max_label_len,
+                             extras_fn=eval_extras),
+                eval_codec, sharding=bsh)
             improved_cer, improved_wer = cer < best_cer, wer < best_wer
             best_cer, best_wer = min(cer, best_cer), min(wer, best_wer)
             ckpt.save(state, cer=cer, wer=wer, best_cer=best_cer, best_wer=best_wer,

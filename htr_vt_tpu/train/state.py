@@ -36,13 +36,18 @@ def create_train_state(cfg: ExperimentConfig, model, rng: jax.Array,
     """Initialize parameters/EMA/optimizer from a sample batch shape.
     ``sgm_sample``: dummy sgm_left/right/tgt/mask arrays when the SGM head is
     enabled (its params must exist at init)."""
+    import numpy as np
     init_rng, state_rng = jax.random.split(rng)
+    args = (sample_image,)
     kwargs = {}
-    if cfg.model.sgm.enable and sgm_sample is not None:
+    if cfg.model.model_type == "encoder_decoder":
+        args = (sample_image,
+                np.zeros((sample_image.shape[0], cfg.model.max_seq_len), np.int32))
+    elif cfg.model.sgm.enable and sgm_sample is not None:
         kwargs["sgm_batch"] = sgm_sample
     variables = model.init(
         {"params": init_rng, "mask": init_rng, "dropout": init_rng},
-        sample_image, train=False, **kwargs)
+        *args, train=False, **kwargs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_base_optimizer(cfg.optim)

@@ -38,6 +38,18 @@ def _forward_loss(model, cfg: ExperimentConfig, params, batch_stats,
                   batch: Batch, rng: jax.Array, mask_mode: Optional[str]):
     """One masked forward + CTC (+ optional SGM) loss. Returns (loss, aux)."""
     mask_rng, drop_rng = jax.random.split(rng)
+    if cfg.model.model_type == "encoder_decoder":
+        from htr_vt_tpu.models.encoder_decoder import teacher_forcing_loss
+        logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], batch["ed_input"], train=True, use_masking=True,
+            mask_mode=mask_mode,
+            rngs={"mask": mask_rng, "dropout": drop_rng},
+            mutable=["batch_stats"])
+        loss = teacher_forcing_loss(logits, batch["ed_output"],
+                                    label_smoothing=cfg.model.label_smoothing)
+        return loss, {"batch_stats": mutated.get("batch_stats", batch_stats),
+                      "loss_ctc": loss}
     use_sgm = cfg.model.sgm.enable and "sgm_tgt" in batch
     sgm_batch = {k: batch[k] for k in
                  ("sgm_left", "sgm_right", "sgm_tgt", "sgm_mask")} if use_sgm else None
@@ -156,3 +168,21 @@ def jit_train_step(model, cfg: ExperimentConfig, donate: bool = True):
 
 def jit_eval_step(model, cfg: ExperimentConfig):
     return jax.jit(functools.partial(eval_step, model, cfg))
+
+
+def eval_step_ed(model, cfg: ExperimentConfig, params, batch_stats,
+                 batch: Batch) -> Dict[str, jax.Array]:
+    """Encoder-decoder eval: teacher-forcing loss + greedy generation
+    (evaluate_encoder_decoder semantics, data/utils/encoder_decoder_utils.py:117)."""
+    from htr_vt_tpu.models.encoder_decoder import generate, teacher_forcing_loss
+    variables = {"params": params, "batch_stats": batch_stats}
+    logits = model.apply(variables, batch["image"], batch["ed_input"], train=False)
+    loss = teacher_forcing_loss(logits, batch["ed_output"],
+                                label_smoothing=cfg.model.label_smoothing)
+    pred_ids = generate(model, variables, batch["image"], method="greedy",
+                        max_len=batch["ed_input"].shape[1])
+    return {"pred_ids": pred_ids, "loss": loss}
+
+
+def jit_eval_step_ed(model, cfg: ExperimentConfig):
+    return jax.jit(functools.partial(eval_step_ed, model, cfg))
