@@ -211,6 +211,10 @@ class TrainConfig:
     # 3: random/block/span — reference model_sgm_mms_attach/train.py:76-97).
     tri_masked: bool = False
     donate_state: bool = True
+    # Failure detection (the reference has none, SURVEY §5): after this many
+    # consecutive non-finite losses the loop saves an emergency checkpoint and
+    # aborts; 0 disables.
+    max_nonfinite_steps: int = 3
 
 
 @dataclass(frozen=True)

@@ -112,12 +112,34 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
     timer = StepTimer()
 
     train_loss, train_loss_count = 0.0, 0
+    nonfinite_streak = 0
     logger.info("Start training...")
     for step in range(start_step, cfg.train.total_iters):
         maybe_profile(cfg.train.profile_dir, step)
         batch = next(batches)
         state, metrics = train_fn(state, batch)
-        train_loss += float(metrics["loss"])
+        loss_val = float(metrics["loss"])
+
+        # Failure detection: consecutive NaN/inf losses abort with an
+        # emergency checkpoint instead of silently corrupting the run.
+        if cfg.train.max_nonfinite_steps > 0:
+            if not np.isfinite(loss_val):
+                nonfinite_streak += 1
+                logger.warning("non-finite loss at iter %d (streak %d)",
+                               step + 1, nonfinite_streak)
+                if nonfinite_streak >= cfg.train.max_nonfinite_steps:
+                    ckpt.save(state, cer=999.0, wer=999.0, best_cer=best_cer,
+                              best_wer=best_wer,
+                              meta={"emergency": True, "config": config_to_dict(cfg)})
+                    loader.close()
+                    writer.close()
+                    raise FloatingPointError(
+                        f"{nonfinite_streak} consecutive non-finite losses; "
+                        f"emergency checkpoint saved in {save_dir}")
+            else:
+                nonfinite_streak = 0
+
+        train_loss += loss_val
         train_loss_count += 1
         timer.tick(cfg.data.train_bs)
 
