@@ -31,6 +31,11 @@ REFERENCE_IMGS_PER_SEC = 250.0  # documented estimate, see module docstring
 def main() -> None:
     import jax
 
+    # Persistent compile cache: compiles of this program are slow through the
+    # remote-compile tunnel and occasionally wedge; caching makes reruns fast.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/htrvt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from htr_vt_tpu.config import ExperimentConfig, MaskConfig, ModelConfig, OptimConfig
     from htr_vt_tpu.models.htr_vt import HTRVT
     from htr_vt_tpu.parallel.mesh import batch_sharding, make_mesh
@@ -62,17 +67,24 @@ def main() -> None:
 
     train_fn = jit_train_step(model, cfg, donate=True)
 
-    # Warmup / compile. Block on the FULL state: blocking only on a single
-    # scalar lets the async runtime under-report (observed 100x).
+    # Warmup / compile. Synchronize by READING a value that depends on the
+    # full update chain back to host: under the remote TPU runtime,
+    # block_until_ready on donated outputs acks before execution finishes
+    # (observed 100x under-reporting).
+    import jax.numpy as jnp
+
+    def sync(s):
+        return float(jnp.sum(jax.tree.leaves(s.ema_params)[0]))
+
     for _ in range(3):
         state, metrics = train_fn(state, batch)
-    jax.block_until_ready(state)
+    sync(state)
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = train_fn(state, batch)
-    jax.block_until_ready(state)
+    sync(state)
     dt = time.perf_counter() - t0
 
     imgs_per_sec = iters * batch_size / dt

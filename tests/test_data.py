@@ -1,0 +1,106 @@
+"""Data pipeline: image preprocessing parity, augmentation, loader shapes."""
+
+import numpy as np
+import pytest
+
+from htr_vt_tpu.config import AugmentConfig, DataConfig
+from htr_vt_tpu.data import augment
+from htr_vt_tpu.data.image import from_uint8, prepare_line_image, resize_keep_aspect, to_uint8
+from htr_vt_tpu.data.loader import (TrainLoader, build_dataset, choose_max_label_len,
+                                    collate, eval_batches, make_converter)
+from htr_vt_tpu.data.synthetic import SyntheticLineDataset, render_line
+
+
+def test_prepare_line_image_shape_and_padding():
+    img = np.full((100, 300), 128, np.uint8)
+    out = prepare_line_image(img, max_w=512, max_h=64)
+    assert out.shape == (64, 512, 1)
+    # aspect-preserving: new width = 300 * 64/100 = 192, rest padded white 1.0
+    assert np.allclose(out[:, 192 + 2:], 1.0)
+    assert not np.allclose(out[:, :190], 1.0)
+
+
+def test_prepare_line_image_wide_cap():
+    # very wide lines are capped at max_w (reference npThum min())
+    img = np.zeros((50, 5000), np.uint8)
+    out = prepare_line_image(img, 512, 64)
+    assert out.shape == (64, 512, 1)
+
+
+def test_uint8_roundtrip():
+    img = np.random.default_rng(0).random((64, 512, 1)).astype(np.float32)
+    back = from_uint8(to_uint8(img))
+    assert np.abs(back - img).max() < 1 / 255 + 1e-6
+
+
+def test_augment_batch_shapes_preserved():
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (64, 512), dtype=np.uint8) for _ in range(4)]
+    cfg = AugmentConfig(proba=1.0)  # force every augmentation on
+    out = augment.augment_batch(list(imgs), cfg, np.random.default_rng(1))
+    assert all(o.shape == (64, 512) and o.dtype == np.uint8 for o in out)
+    assert any(not np.array_equal(a, b) for a, b in zip(imgs, out))
+
+
+def test_transform_zoo_runs():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (64, 256), dtype=np.uint8)
+    assert augment.dilation(img, (2, 2)).shape == img.shape
+    assert augment.erosion(img, (2, 2)).shape == img.shape
+    assert augment.random_projective(img, 8.0, rng).shape == img.shape
+    assert augment.elastic_distortion(img, rng).shape == img.shape
+    assert augment.sign_flipping(img).shape == img.shape
+    assert augment.gaussian_noise(img, rng).shape == img.shape
+    assert augment.sharpen(img).shape == img.shape
+    assert augment.zoom_ratio(img, 0.8, 0.9).shape == img.shape
+    small = augment.dpi_adjusting(img, 0.5)
+    assert small.shape == (32, 128)
+    tight = augment.tightening(np.pad(img, 8, constant_values=255))
+    assert tight.shape[0] <= img.shape[0] + 2
+
+
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticLineDataset(8, seed=3, width=256)
+    img1, lbl1 = ds[2]
+    img2, lbl2 = ds[2]
+    assert lbl1 == lbl2 and np.array_equal(img1, img2)
+    assert img1.shape == (64, 256)
+    # text actually rendered (not blank)
+    assert (img1 < 200).sum() > 50
+
+
+def test_train_loader_fixed_shapes_and_cycle():
+    cfg = DataConfig(dataset="SYNTH", synth_train_size=16, img_size=(64, 256))
+    ds = build_dataset(cfg, "train")
+    conv = make_converter(cfg, ds)
+    loader = TrainLoader(ds, conv, batch_size=4, max_label_len=32,
+                         augment=cfg.augment, num_threads=2)
+    try:
+        seen = 0
+        for batch in loader:
+            assert batch["image"].shape == (4, 64, 256, 1)
+            assert batch["image"].dtype == np.float32
+            assert batch["labels"].shape == (4, 32)
+            assert batch["label_lengths"].shape == (4,)
+            seen += 1
+            if seen >= 3:
+                break
+    finally:
+        loader.close()
+
+
+def test_eval_batches_pads_last():
+    cfg = DataConfig(dataset="SYNTH", synth_eval_size=5, img_size=(64, 256))
+    ds = build_dataset(cfg, "val")
+    conv = make_converter(cfg, ds)
+    batches = list(eval_batches(ds, conv, batch_size=4, max_label_len=32))
+    assert len(batches) == 2
+    (b1, v1, t1), (b2, v2, t2) = batches
+    assert v1 == 4 and v2 == 1
+    assert b2["image"].shape == (4, 64, 256, 1)  # padded to full batch
+    assert len(t2) == 1
+
+
+def test_choose_max_label_len():
+    assert choose_max_label_len(["ab", "abcdefghi"], num_frames=128) == 16
+    assert choose_max_label_len(["x" * 500], num_frames=128) == 128  # CTC cap
