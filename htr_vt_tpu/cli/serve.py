@@ -1,0 +1,108 @@
+"""Batch serving: transcribe a directory (or list) of line images.
+
+Production-style inference path: fixed-shape batching onto the chip, greedy
+decode on device, optional beam + ARPA-LM rescoring on host. Emits JSONL
+(one {"image", "text"} record per line) to stdout or --out.
+
+    python -m htr_vt_tpu.cli.serve IAM --checkpoint out/iam/best_CER \
+        --images 'scans/*.png' --batch-size 64 [--arpa lm.arpa]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from htr_vt_tpu.cli.args import args_to_config, build_parser
+from htr_vt_tpu.data.image import load_line_image
+from htr_vt_tpu.data.loader import build_dataset, make_converter
+from htr_vt_tpu.models.htr_vt import build_model
+from htr_vt_tpu.train.checkpoint import CheckpointManager
+from htr_vt_tpu.train.state import create_train_state
+from htr_vt_tpu.train.step import jit_eval_step
+
+
+def main() -> None:
+    parser = build_parser("htr_vt_tpu batch transcription")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--images", type=str, required=True,
+                        help="glob pattern or file containing one path per line")
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--arpa", type=str, default=None,
+                        help="optional ARPA LM for beam rescoring")
+    parser.add_argument("--beam-width", type=int, default=5)
+    parser.add_argument("--lm-weight", type=float, default=1.0)
+    parser.add_argument("--out", type=str, default=None)
+    args = parser.parse_args()
+    cfg = args_to_config(args)
+
+    if os.path.isfile(args.images) and not args.images.endswith((".png", ".jpg")):
+        with open(args.images) as f:
+            paths = [l.strip() for l in f if l.strip()]
+    else:
+        paths = sorted(glob.glob(args.images))
+    if not paths:
+        sys.exit(f"no images match {args.images!r}")
+
+    train_ds = build_dataset(cfg.data, "train")
+    converter = make_converter(cfg.data, train_ds)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, nb_cls=converter.num_classes))
+    model = build_model(cfg.model)
+    bs = args.batch_size
+    sample = np.zeros((bs, *cfg.model.img_size, 1), np.float32)
+    template = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+    ckpt = CheckpointManager(os.path.dirname(args.checkpoint.rstrip("/")) or ".")
+    state, _ = ckpt.restore(args.checkpoint, template)
+    eval_fn = jit_eval_step(model, cfg)
+
+    scorer = None
+    if args.arpa:
+        from htr_vt_tpu.decode.lm import NgramScorer
+        scorer = NgramScorer(args.arpa)
+
+    h, w = cfg.model.img_size
+    sink = open(args.out, "w") if args.out else sys.stdout
+    t0 = time.perf_counter()
+    done = 0
+    for start in range(0, len(paths), bs):
+        chunk = paths[start:start + bs]
+        imgs = np.stack([load_line_image(p, w, h) for p in chunk])
+        if len(chunk) < bs:  # pad to the compiled shape
+            imgs = np.concatenate([imgs, np.ones((bs - len(chunk), h, w, 1),
+                                                 np.float32)])
+        batch = {"image": imgs, "labels": np.zeros((bs, 8), np.int32),
+                 "label_lengths": np.zeros((bs,), np.int32)}
+        out = eval_fn(state.ema_params, state.ema_batch_stats, batch)
+        texts = converter.decode_batch(np.asarray(out["pred_ids"])[:len(chunk)])
+        if scorer is not None:
+            from htr_vt_tpu.decode.beam import prefix_beam_search
+            from htr_vt_tpu.decode.lm import rescore_candidates
+            logp = np.asarray(jax.nn.log_softmax(out["logits"], -1))[:len(chunk)]
+            rescored = []
+            for lp, greedy in zip(logp, texts):
+                beams = prefix_beam_search(lp, beam_width=args.beam_width)
+                cands = [("".join(converter.character[i] for i in seq
+                                  if 0 < i < len(converter.character)), s)
+                         for seq, s in beams] or [(greedy, 0.0)]
+                rescored.append(rescore_candidates(cands, scorer,
+                                                   args.lm_weight)[0][0])
+            texts = rescored
+        for p, t in zip(chunk, texts):
+            sink.write(json.dumps({"image": p, "text": t}, ensure_ascii=False) + "\n")
+        done += len(chunk)
+    dt = time.perf_counter() - t0
+    print(f"# {done} images in {dt:.2f}s ({done / dt:.1f} img/s)", file=sys.stderr)
+    if args.out:
+        sink.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -86,8 +86,15 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
 
     ckpt = CheckpointManager(save_dir, keep=cfg.train.keep_checkpoints)
     best_cer, best_wer, start_step = 1e6, 1e6, 0
-    if cfg.train.resume:
-        state, meta = ckpt.restore(cfg.train.resume, state)
+    resume = cfg.train.resume
+    if resume == "auto":
+        # Elastic restart convenience: pick up the latest rolling checkpoint
+        # in the run directory if one exists (fresh start otherwise).
+        resume = ckpt.latest_path()
+        if resume:
+            logger.info("auto-resume found %s", resume)
+    if resume:
+        state, meta = ckpt.restore(resume, state)
         best_cer = float(meta.get("best_cer", best_cer))
         best_wer = float(meta.get("best_wer", best_wer))
         start_step = int(state.step)
@@ -112,39 +119,37 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
     timer = StepTimer()
 
     train_loss, train_loss_count = 0.0, 0
-    nonfinite_streak = 0
+    pending_losses: list = []  # device scalars; fetched at print cadence so
+    # the host never stalls the dispatch pipeline with per-step syncs.
     logger.info("Start training...")
     for step in range(start_step, cfg.train.total_iters):
         maybe_profile(cfg.train.profile_dir, step)
         batch = next(batches)
         state, metrics = train_fn(state, batch)
-        loss_val = float(metrics["loss"])
-
-        # Failure detection: consecutive NaN/inf losses abort with an
-        # emergency checkpoint instead of silently corrupting the run.
-        if cfg.train.max_nonfinite_steps > 0:
-            if not np.isfinite(loss_val):
-                nonfinite_streak += 1
-                logger.warning("non-finite loss at iter %d (streak %d)",
-                               step + 1, nonfinite_streak)
-                if nonfinite_streak >= cfg.train.max_nonfinite_steps:
-                    ckpt.save(state, cer=999.0, wer=999.0, best_cer=best_cer,
-                              best_wer=best_wer,
-                              meta={"emergency": True, "config": config_to_dict(cfg)})
-                    loader.close()
-                    writer.close()
-                    raise FloatingPointError(
-                        f"{nonfinite_streak} consecutive non-finite losses; "
-                        f"emergency checkpoint saved in {save_dir}")
-            else:
-                nonfinite_streak = 0
-
-        train_loss += loss_val
-        train_loss_count += 1
+        pending_losses.append(metrics["loss"])
         timer.tick(cfg.data.train_bs)
 
         it = step + 1
         if it % cfg.train.print_iters == 0:
+            fetched = [float(x) for x in pending_losses]
+            pending_losses.clear()
+
+            # Failure detection: a window of non-finite losses aborts with an
+            # emergency checkpoint instead of silently corrupting the run
+            # (detection latency = print_iters steps; the reference has none).
+            bad = sum(not np.isfinite(v) for v in fetched)
+            if cfg.train.max_nonfinite_steps > 0 and bad >= cfg.train.max_nonfinite_steps:
+                ckpt.save(state, cer=999.0, wer=999.0, best_cer=best_cer,
+                          best_wer=best_wer,
+                          meta={"emergency": True, "config": config_to_dict(cfg)})
+                loader.close()
+                writer.close()
+                raise FloatingPointError(
+                    f"{bad} non-finite losses in the last {len(fetched)} steps; "
+                    f"emergency checkpoint saved in {save_dir}")
+
+            train_loss += sum(v for v in fetched if np.isfinite(v))
+            train_loss_count += len(fetched)
             avg = train_loss / max(1, train_loss_count)
             logger.info("Iter : %d \t training loss : %.5f \t img/s : %.1f",
                         it, avg, timer.rate)
