@@ -22,7 +22,7 @@ import numpy as np
 from htr_vt_tpu.cli.args import args_to_config, build_parser
 from htr_vt_tpu.data.loader import build_dataset, choose_max_label_len, eval_batches, make_converter
 from htr_vt_tpu.decode.beam import (collapse_sequence, prefix_beam_search,
-                                    simple_beam_search)
+                                    simple_beam_search_batch)
 from htr_vt_tpu.decode.lm import NgramScorer, rescore_candidates
 from htr_vt_tpu.models.htr_vt import build_model
 from htr_vt_tpu.text.metrics import RecognitionMetrics
@@ -72,15 +72,16 @@ def main() -> None:
         logp = jax.nn.log_softmax(out["logits"], axis=-1)
         logp = np.asarray(logp)[:valid]
         greedy = converter.decode_batch(np.asarray(out["pred_ids"])[:valid])
-        for lp, gt, gr in zip(logp, texts, greedy):
+        if not args.proper_beam:
+            batch_beams = simple_beam_search_batch(
+                logp, beam_width=args.beam_width, top_k_per_frame=args.beam_width)
+        for bi, (lp, gt, gr) in enumerate(zip(logp, texts, greedy)):
             if args.proper_beam:
                 beams = prefix_beam_search(lp, beam_width=args.beam_width)
                 cands = [(ids_to_text(seq), score) for seq, score in beams]
             else:
-                beams = simple_beam_search(lp, beam_width=args.beam_width,
-                                           top_k_per_frame=args.beam_width)
                 cands = [(ids_to_text(collapse_sequence(seq)), score)
-                         for seq, score in beams]
+                         for seq, score in batch_beams[bi]]
             best = rescore_candidates(cands, scorer, args.lm_weight,
                                       args.ctc_weight)[0][0] if cands else ""
             metrics.update([best], [gt])

@@ -118,3 +118,39 @@ def beam_search_batch(log_probs: np.ndarray, beam_width: int = 10,
                       blank: int = 0) -> List[List[Tuple[Tuple[int, ...], float]]]:
     """Per-sample prefix beam search over a [B, T, C] batch."""
     return [prefix_beam_search(lp, beam_width, blank) for lp in log_probs]
+
+
+def simple_beam_search_batch(log_probs: np.ndarray, beam_width: int = 5,
+                             top_k_per_frame: int = 5
+                             ) -> List[List[Tuple[List[int], float]]]:
+    """Vectorized batch version of the reference-style naive beam: one numpy
+    pass over [B, T, C] instead of a Python frame loop per sample (the
+    reference's per-sample loop is its eval hot spot, SURVEY §3.5)."""
+    b, t, c = log_probs.shape
+    k = beam_width
+    kf = min(top_k_per_frame, c)
+    # [B, T, kf] per-frame top classes and scores
+    top_idx = np.argpartition(-log_probs, kf - 1, axis=2)[:, :, :kf]
+    top_val = np.take_along_axis(log_probs, top_idx, axis=2)
+
+    seqs = np.zeros((b, 1, 0), np.int64)
+    scores = np.zeros((b, 1), np.float64)
+    for step in range(t):
+        # extend every beam with every candidate: [B, nb*kf]
+        ext = scores[:, :, None] + top_val[:, None, step, :]
+        nb = ext.shape[1] * ext.shape[2]
+        ext = ext.reshape(b, nb)
+        keep = min(k, nb)
+        sel = np.argpartition(-ext, keep - 1, axis=1)[:, :keep]
+        scores = np.take_along_axis(ext, sel, axis=1)
+        beam_src = sel // kf
+        cand_src = sel % kf
+        new_tok = np.take_along_axis(top_idx[:, step, :], cand_src, axis=1)
+        seqs = np.concatenate(
+            [np.take_along_axis(seqs, beam_src[:, :, None], axis=1),
+             new_tok[:, :, None].astype(np.int64)], axis=2)
+        order = np.argsort(-scores, axis=1)
+        scores = np.take_along_axis(scores, order, axis=1)
+        seqs = np.take_along_axis(seqs, order[:, :, None], axis=1)
+    return [[(seqs[i, j].tolist(), float(scores[i, j]))
+             for j in range(seqs.shape[1])] for i in range(b)]

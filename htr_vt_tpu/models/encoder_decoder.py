@@ -102,9 +102,10 @@ class HTREncoderDecoder(nn.Module):
                                 kernel_init=_XAVIER)
 
     def encode(self, image, *, train: bool = False, use_masking: bool = False,
-               mask_mode: Optional[str] = None):
+               mask_mode: Optional[str] = None, mask_ratio: Optional[float] = None):
         _, feats = self.encoder(image, train=train, use_masking=use_masking,
-                                mask_mode=mask_mode, return_features=True)
+                                mask_mode=mask_mode, mask_ratio=mask_ratio,
+                                return_features=True)
         return feats
 
     def decode_logits(self, memory, tgt_input, *, train: bool = False):
@@ -119,9 +120,10 @@ class HTREncoderDecoder(nn.Module):
         return self.lm_head(self.final_norm(x))
 
     def __call__(self, image, tgt_input, *, train: bool = False,
-                 use_masking: bool = False, mask_mode: Optional[str] = None):
+                 use_masking: bool = False, mask_mode: Optional[str] = None,
+                 mask_ratio: Optional[float] = None):
         memory = self.encode(image, train=train, use_masking=use_masking,
-                             mask_mode=mask_mode)
+                             mask_mode=mask_mode, mask_ratio=mask_ratio)
         return self.decode_logits(memory, tgt_input, train=train)
 
 

@@ -41,6 +41,7 @@ class HTRVT(nn.Module):
     @nn.compact
     def __call__(self, image: jax.Array, *, train: bool = False,
                  use_masking: bool = False, mask_mode: Optional[str] = None,
+                 mask_ratio: Optional[float] = None,
                  return_features: bool = False, sgm_batch: Optional[dict] = None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -66,7 +67,7 @@ class HTRVT(nn.Module):
             "mask_token", nn.initializers.normal(0.02), (1, 1, cfg.embed_dim))
         if use_masking and cfg.masking.mode != "none":
             keep = masking.build_keep_mask(
-                self.make_rng("mask"), b, n, cfg.masking, mode=mask_mode)
+                self.make_rng("mask"), b, n, cfg.masking, mode=mask_mode, ratio=mask_ratio)
             tokens = masking.apply_mask(tokens, keep, mask_token)
 
         if cfg.use_abs_pos_embed:

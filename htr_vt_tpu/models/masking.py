@@ -152,21 +152,25 @@ def mms_mask(rng: jax.Array, batch: int, length: int, cfg: MaskConfig) -> jax.Ar
 
 
 def build_keep_mask(rng: jax.Array, batch: int, length: int, cfg: MaskConfig,
-                    mode: str | None = None) -> jax.Array:
-    """Dispatch by strategy name. Returns float32 [B, L, 1], 1 = keep."""
+                    mode: str | None = None,
+                    ratio: float | None = None) -> jax.Array:
+    """Dispatch by strategy name. Returns float32 [B, L, 1], 1 = keep.
+    ``mode``/``ratio`` override the config (the tri-masked MMS trainer runs
+    per-forward (mode, ratio) pairs, reference model_sgm_mms_attach/train.py:76-97)."""
     mode = mode or cfg.mode
-    if mode == "none" or cfg.ratio <= 0.0 and mode != "mms":
+    ratio = cfg.ratio if ratio is None else ratio
+    if mode == "none" or (ratio <= 0.0 and mode != "mms"):
         return jnp.ones((batch, length, 1), jnp.float32)
     if mode == "span":
-        return span_mask(rng, batch, length, cfg.ratio, cfg.max_span_length)
+        return span_mask(rng, batch, length, ratio, cfg.max_span_length)
     if mode == "span_old":
-        return span_old_mask(rng, batch, length, cfg.ratio, cfg.max_span_length)
+        return span_old_mask(rng, batch, length, ratio, cfg.max_span_length)
     if mode == "random":
-        return random_mask(rng, batch, length, cfg.ratio)
+        return random_mask(rng, batch, length, ratio)
     if mode == "block":
-        return block_mask(rng, batch, length, cfg.ratio)
+        return block_mask(rng, batch, length, ratio)
     if mode == "span_spacing":
-        return span_spacing_mask(rng, batch, length, cfg.ratio, cfg.max_span_length)
+        return span_spacing_mask(rng, batch, length, ratio, cfg.max_span_length)
     if mode == "mms":
         return mms_mask(rng, batch, length, cfg)
     raise ValueError(f"unknown mask mode {mode!r}")

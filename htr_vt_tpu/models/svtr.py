@@ -86,7 +86,9 @@ class SVTR(nn.Module):
 
     @nn.compact
     def __call__(self, image, *, train: bool = False, use_masking: bool = False,
-                 mask_mode: Optional[str] = None, return_features: bool = False,
+                 mask_mode: Optional[str] = None,
+                 mask_ratio: Optional[float] = None,
+                 return_features: bool = False,
                  sgm_batch: Optional[dict] = None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -113,7 +115,7 @@ class SVTR(nn.Module):
                                 (1, 1, dims[0]))
         if use_masking and cfg.masking.mode != "none":
             keep = masking.build_keep_mask(self.make_rng("mask"), b, h * w,
-                                           cfg.masking, mode=mask_mode)
+                                           cfg.masking, mode=mask_mode, ratio=mask_ratio)
             tokens = masking.apply_mask(tokens, keep, mask_token)
 
         hw = (h, w)

@@ -166,7 +166,9 @@ class HTRSwin(nn.Module):
 
     @nn.compact
     def __call__(self, image, *, train: bool = False, use_masking: bool = False,
-                 mask_mode: Optional[str] = None, return_features: bool = False,
+                 mask_mode: Optional[str] = None,
+                 mask_ratio: Optional[float] = None,
+                 return_features: bool = False,
                  sgm_batch: Optional[dict] = None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -186,7 +188,7 @@ class HTRSwin(nn.Module):
                                 (1, 1, d))
         if use_masking and cfg.masking.mode != "none":
             keep = masking.build_keep_mask(self.make_rng("mask"), b, h * w,
-                                           cfg.masking, mode=mask_mode)
+                                           cfg.masking, mode=mask_mode, ratio=mask_ratio)
             tokens = masking.apply_mask(tokens, keep, mask_token)
 
         hw = (h, w)

@@ -35,7 +35,8 @@ TRI_MASK_MODES = (("random", 0.30), ("block", 0.20), ("span_old", 0.20))
 
 
 def _forward_loss(model, cfg: ExperimentConfig, params, batch_stats,
-                  batch: Batch, rng: jax.Array, mask_mode: Optional[str]):
+                  batch: Batch, rng: jax.Array, mask_mode: Optional[str],
+                  mask_ratio: Optional[float] = None):
     """One masked forward + CTC (+ optional SGM) loss. Returns (loss, aux)."""
     mask_rng, drop_rng = jax.random.split(rng)
     if cfg.model.model_type == "encoder_decoder":
@@ -43,7 +44,7 @@ def _forward_loss(model, cfg: ExperimentConfig, params, batch_stats,
         logits, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"], batch["ed_input"], train=True, use_masking=True,
-            mask_mode=mask_mode,
+            mask_mode=mask_mode, mask_ratio=mask_ratio,
             rngs={"mask": mask_rng, "dropout": drop_rng},
             mutable=["batch_stats"])
         loss = teacher_forcing_loss(logits, batch["ed_output"],
@@ -56,7 +57,7 @@ def _forward_loss(model, cfg: ExperimentConfig, params, batch_stats,
     out, mutated = model.apply(
         {"params": params, "batch_stats": batch_stats},
         batch["image"], train=True, use_masking=True, mask_mode=mask_mode,
-        sgm_batch=sgm_batch,
+        mask_ratio=mask_ratio, sgm_batch=sgm_batch,
         rngs={"mask": mask_rng, "dropout": drop_rng},
         mutable=["batch_stats"])
     if use_sgm:
@@ -85,18 +86,13 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
         return loss_fn
 
     def tri_loss_fn(params, batch_stats, batch, rng):
-        import dataclasses
         total = 0.0
         aux = {}
         bs = batch_stats
         rngs = jax.random.split(rng, len(TRI_MASK_MODES))
         for i, (mode, ratio) in enumerate(TRI_MASK_MODES):
-            sub_cfg = dataclasses.replace(
-                cfg, model=dataclasses.replace(
-                    cfg.model, masking=dataclasses.replace(
-                        cfg.model.masking, mode=mode, ratio=ratio)))
-            li, ai = _forward_loss(model, sub_cfg, params, bs, batch, rngs[i],
-                                   mask_mode=mode)
+            li, ai = _forward_loss(model, cfg, params, bs, batch, rngs[i],
+                                   mask_mode=mode, mask_ratio=ratio)
             total = total + li
             bs = ai["batch_stats"]
         aux["batch_stats"] = bs

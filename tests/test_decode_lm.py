@@ -96,3 +96,17 @@ def test_rescore_candidates(arpa_path):
     scorer = NgramScorer(arpa_path)
     out = rescore_candidates([("the dog", -1.0), ("the cat", -2.0)], scorer)
     assert out[0][0] == "the cat"  # LM prefers cat despite worse CTC score
+
+
+def test_batched_simple_beam_matches_sequential():
+    from htr_vt_tpu.decode.beam import simple_beam_search_batch
+    rng = np.random.default_rng(7)
+    logp = rng.standard_normal((4, 12, 9))
+    logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+    batched = simple_beam_search_batch(logp, beam_width=4, top_k_per_frame=4)
+    for i in range(4):
+        seq_ref = simple_beam_search(logp[i], beam_width=4, top_k_per_frame=4)
+        got = [(tuple(s), round(sc, 6)) for s, sc in batched[i]]
+        want = [(tuple(s), round(sc, 6)) for s, sc in seq_ref]
+        assert got[0] == want[0]
+        assert {g[0] for g in got} == {w[0] for w in want}

@@ -80,3 +80,33 @@ def test_build_keep_mask_dispatch_jits():
     fn = jax.jit(lambda r: masking.build_keep_mask(r, B, L, cfg))
     keep = fn(jax.random.PRNGKey(5))
     assert keep.shape == (B, L, 1)
+
+
+def test_ratio_override_reaches_strategy():
+    """The tri-masked trainer's per-mode ratios must override the config
+    (regression: the override used to be silently dropped)."""
+    cfg = MaskConfig(mode="span", ratio=0.9, max_span_length=1)
+    keep = masking.build_keep_mask(jax.random.PRNGKey(0), B, L, cfg,
+                                   mode="random", ratio=0.25)
+    m = keep_to_masked(keep)
+    assert np.all(m.sum(axis=1) == round(0.25 * L))
+
+
+def test_model_mask_ratio_override():
+    import jax.numpy as jnp
+    from htr_vt_tpu.config import ModelConfig
+    from htr_vt_tpu.models.htr_vt import HTRVT
+    cfg = ModelConfig(nb_cls=8, img_size=(64, 128), embed_dim=64, depth=1,
+                      num_heads=2, compute_dtype="float32",
+                      masking=MaskConfig(mode="span", ratio=0.0, max_span_length=2))
+    model = HTRVT(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 128, 1))
+    r = jax.random.PRNGKey(0)
+    v = model.init({"params": r, "mask": r, "dropout": r}, x)
+    base, _ = model.apply(v, x, train=True, use_masking=True,
+                          rngs={"mask": r, "dropout": r}, mutable=["batch_stats"])
+    # config ratio 0 -> no masking; override 0.5 must change the output
+    ovr, _ = model.apply(v, x, train=True, use_masking=True, mask_mode="random",
+                         mask_ratio=0.5,
+                         rngs={"mask": r, "dropout": r}, mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(base), np.asarray(ovr), atol=1e-6)
