@@ -40,43 +40,91 @@ class DecoderBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    model_dim: int = 0  # set by the parent (setup-style submodules need it)
 
-    @nn.compact
+    def setup(self):
+        c = self.model_dim
+        self.norm1 = nn.LayerNorm(dtype=jnp.float32, name="norm1")
+        self.self_qkv = nn.Dense(3 * c, dtype=self.dtype, kernel_init=_XAVIER,
+                                 name="self_qkv")
+        self.self_proj = nn.Dense(c, dtype=self.dtype, kernel_init=_XAVIER,
+                                  name="self_proj")
+        self.norm2 = nn.LayerNorm(dtype=jnp.float32, name="norm2")
+        self.cross_q = nn.Dense(c, dtype=self.dtype, kernel_init=_XAVIER,
+                                name="cross_q")
+        self.norm_mem = nn.LayerNorm(dtype=jnp.float32, name="norm_mem")
+        self.cross_kv = nn.Dense(2 * c, dtype=self.dtype, kernel_init=_XAVIER,
+                                 name="cross_kv")
+        self.cross_proj = nn.Dense(c, dtype=self.dtype, kernel_init=_XAVIER,
+                                   name="cross_proj")
+        self.norm3 = nn.LayerNorm(dtype=jnp.float32, name="norm3")
+        self.mlp = Mlp(int(c * self.mlp_ratio), drop_rate=self.drop,
+                       dtype=self.dtype, name="mlp")
+
+    def _heads(self, t):
+        return _split_heads(t, self.num_heads)
+
     def __call__(self, x, memory, *, deterministic: bool = True):
         b, t, c = x.shape
         head_dim = c // self.num_heads
-        norm = lambda name: nn.LayerNorm(dtype=jnp.float32, name=name)
 
         # Causal self-attention.
-        y = norm("norm1")(x).astype(self.dtype)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, kernel_init=_XAVIER, name="self_qkv")(y)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        y = self.norm1(x).astype(self.dtype)
+        q, k, v = jnp.split(self.self_qkv(y), 3, axis=-1)
         causal = jnp.tril(jnp.ones((t, t), bool))[None, None]
-        y = multi_head_attention(_split_heads(q, self.num_heads),
-                                 _split_heads(k, self.num_heads),
-                                 _split_heads(v, self.num_heads),
+        y = multi_head_attention(self._heads(q), self._heads(k), self._heads(v),
                                  scale=head_dim**-0.5, mask=causal,
                                  out_dtype=self.dtype)
-        y = nn.Dense(c, dtype=self.dtype, kernel_init=_XAVIER, name="self_proj")(y)
-        x = x + y
+        x = x + self.self_proj(y)
 
         # Cross-attention over visual memory.
-        y = norm("norm2")(x).astype(self.dtype)
-        q = nn.Dense(c, dtype=self.dtype, kernel_init=_XAVIER, name="cross_q")(y)
-        mem = norm("norm_mem")(memory).astype(self.dtype)
-        kv = nn.Dense(2 * c, dtype=self.dtype, kernel_init=_XAVIER, name="cross_kv")(mem)
-        k, v = jnp.split(kv, 2, axis=-1)
-        y = multi_head_attention(_split_heads(q, self.num_heads),
-                                 _split_heads(k, self.num_heads),
-                                 _split_heads(v, self.num_heads),
+        y = self.norm2(x).astype(self.dtype)
+        q = self.cross_q(y)
+        k, v = jnp.split(self.cross_kv(self.norm_mem(memory).astype(self.dtype)),
+                         2, axis=-1)
+        y = multi_head_attention(self._heads(q), self._heads(k), self._heads(v),
                                  scale=head_dim**-0.5, out_dtype=self.dtype)
-        y = nn.Dense(c, dtype=self.dtype, kernel_init=_XAVIER, name="cross_proj")(y)
-        x = x + y
+        x = x + self.cross_proj(y)
 
-        y = norm("norm3")(x).astype(self.dtype)
-        x = x + Mlp(int(c * self.mlp_ratio), drop_rate=self.drop, dtype=self.dtype,
-                    name="mlp")(y, deterministic=deterministic)
+        y = self.norm3(x).astype(self.dtype)
+        x = x + self.mlp(y, deterministic=deterministic)
         return x
+
+    # -- KV-cached single-token decode ------------------------------------
+    def prefill_cross_kv(self, memory):
+        """Per-layer cross-attention K,V computed once per sequence."""
+        k, v = jnp.split(self.cross_kv(self.norm_mem(memory).astype(self.dtype)),
+                         2, axis=-1)
+        return self._heads(k), self._heads(v)
+
+    def decode_step(self, x_t, pos, self_k, self_v, mem_k, mem_v):
+        """x_t: [B, 1, C]; self_k/v: [B, H, L, hd] caches; pos: scalar index.
+        Returns (y_t [B,1,C], new self_k, new self_v)."""
+        b, _, c = x_t.shape
+        head_dim = c // self.num_heads
+        max_len = self_k.shape[2]
+
+        y = self.norm1(x_t).astype(self.dtype)
+        q, k, v = jnp.split(self.self_qkv(y), 3, axis=-1)
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, self._heads(k).astype(self_k.dtype), (0, 0, pos, 0))
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, self._heads(v).astype(self_v.dtype), (0, 0, pos, 0))
+        valid = (jnp.arange(max_len) <= pos)[None, None, None, :]
+        y = multi_head_attention(self._heads(q), self_k, self_v,
+                                 scale=head_dim**-0.5, mask=valid,
+                                 out_dtype=self.dtype)
+        x_t = x_t + self.self_proj(y)
+
+        y = self.norm2(x_t).astype(self.dtype)
+        q = self.cross_q(y)
+        y = multi_head_attention(self._heads(q), mem_k, mem_v,
+                                 scale=head_dim**-0.5, out_dtype=self.dtype)
+        x_t = x_t + self.cross_proj(y)
+
+        y = self.norm3(x_t).astype(self.dtype)
+        x_t = x_t + self.mlp(y, deterministic=True)
+        return x_t, self_k, self_v
 
 
 class HTREncoderDecoder(nn.Module):
@@ -95,7 +143,7 @@ class HTREncoderDecoder(nn.Module):
         self.embed = nn.Embed(self.vocab_size, self.cfg.embed_dim,
                               embedding_init=nn.initializers.normal(0.02))
         self.blocks = [DecoderBlock(self.decoder_heads, dtype=dtype,
-                                    name=f"dec{i}")
+                                    model_dim=self.cfg.embed_dim, name=f"dec{i}")
                        for i in range(self.decoder_layers)]
         self.final_norm = nn.LayerNorm(dtype=jnp.float32)
         self.lm_head = nn.Dense(self.vocab_size, dtype=jnp.float32,
@@ -125,6 +173,29 @@ class HTREncoderDecoder(nn.Module):
         memory = self.encode(image, train=train, use_masking=use_masking,
                              mask_mode=mask_mode, mask_ratio=mask_ratio)
         return self.decode_logits(memory, tgt_input, train=train)
+
+    # -- KV-cached generation support --------------------------------------
+    def prefill(self, memory):
+        """Cross-attention K,V for every decoder layer: list of (k, v)."""
+        return [blk.prefill_cross_kv(memory) for blk in self.blocks]
+
+    def decode_one(self, token, pos, mem_kvs, self_ks, self_vs):
+        """One cached decode step. token: [B] ids; pos: scalar position;
+        self_ks/self_vs: [layers, B, H, L, hd] stacked caches.
+        Returns (logits [B, V], new self_ks, new self_vs)."""
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        x = self.embed(token[:, None]).astype(dtype)  # [B,1,C]
+        pos_table = jnp.asarray(
+            sincos_pos_embed_1d(self.cfg.embed_dim, self.max_seq_len), dtype)
+        x = x + jax.lax.dynamic_slice_in_dim(pos_table, pos, 1, axis=0)[None]
+        new_ks, new_vs = [], []
+        for i, blk in enumerate(self.blocks):
+            mk, mv = mem_kvs[i]
+            x, k, v = blk.decode_step(x, pos, self_ks[i], self_vs[i], mk, mv)
+            new_ks.append(k)
+            new_vs.append(v)
+        logits = self.lm_head(self.final_norm(x))[:, 0]
+        return logits, jnp.stack(new_ks), jnp.stack(new_vs)
 
 
 def teacher_forcing_loss(logits: jax.Array, tgt_output: jax.Array,
@@ -166,15 +237,24 @@ def generate(model: HTREncoderDecoder, variables, image, *, method: str = "greed
     finished = jnp.zeros((b,), bool)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
 
+    # KV caches: cross-attention K,V prefilled once; self-attention caches
+    # grow in place — each step is O(1) decoder work instead of re-decoding
+    # the whole prefix.
+    mem_kvs = model.apply(variables, memory, method=model.prefill)
+    layers = model.decoder_layers
+    heads = model.decoder_heads
+    hd = model.cfg.embed_dim // heads
+    dtype = jnp.dtype(model.cfg.compute_dtype)
+    self_ks = jnp.zeros((layers, b, heads, max_len, hd), dtype)
+    self_vs = jnp.zeros((layers, b, heads, max_len, hd), dtype)
+
     def step(carry, t):
-        tokens, finished, rng = carry
-        logits = model.apply(variables, memory, tokens[:, :-1],
-                             method=model.decode_logits)  # [B, L, V]
-        logit_t = jnp.take_along_axis(
-            logits, jnp.full((b, 1, 1), 0, jnp.int32) + t[None, None, None],
-            axis=1)[:, 0]  # [B, V]
+        tokens, finished, rng, ks, vs = carry
+        tok_t = jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=1)[:, 0]
+        logit_t, ks, vs = model.apply(variables, tok_t, t, mem_kvs, ks, vs,
+                                      method=model.decode_one)  # [B, V]
         # repetition penalty: divide logits of already-emitted tokens
-        counts = jax.nn.one_hot(tokens, logits.shape[-1]).sum(axis=1)  # [B, V]
+        counts = jax.nn.one_hot(tokens, logit_t.shape[-1]).sum(axis=1)  # [B, V]
         seen = counts > 0
         penalized = jnp.where(logit_t > 0, logit_t / repetition_penalty,
                               logit_t * repetition_penalty)
@@ -196,12 +276,12 @@ def generate(model: HTREncoderDecoder, variables, image, *, method: str = "greed
             raise ValueError(f"unknown generation method {method!r}")
 
         nxt = jnp.where(finished, 0, nxt.astype(jnp.int32))
-        tokens = tokens.at[:, t + 1].set(nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, t + 1))
         finished = finished | (nxt == eos_id)
-        return (tokens, finished, rng), None
+        return (tokens, finished, rng, ks, vs), None
 
-    (tokens, _, _), _ = jax.lax.scan(step, (tokens, finished, rng),
-                                     jnp.arange(max_len))
+    (tokens, _, _, _, _), _ = jax.lax.scan(
+        step, (tokens, finished, rng, self_ks, self_vs), jnp.arange(max_len))
     return tokens[:, 1:]
 
 

@@ -99,3 +99,27 @@ def test_causal_decoder_is_causal():
     np.testing.assert_allclose(np.asarray(l1[:, :5]), np.asarray(l2[:, :5]),
                                atol=1e-6)
     assert not np.allclose(np.asarray(l1[:, 5]), np.asarray(l2[:, 5]))
+
+
+def test_cached_generation_matches_uncached():
+    """The KV-cached greedy decode must equal full-prefix re-decoding."""
+    model, variables, img = _tiny_ed()
+    img = jax.random.normal(jax.random.PRNGKey(5), (2, 64, 128, 1))
+    max_len = 6
+
+    cached = generate(model, variables, img, method="greedy", max_len=max_len,
+                      repetition_penalty=1.0)
+
+    # uncached reference: re-decode the whole prefix each step
+    memory = model.apply(variables, img, method=model.encode)
+    tokens = np.zeros((2, max_len + 1), np.int32)
+    tokens[:, 0] = 1  # sos
+    finished = np.zeros(2, bool)
+    for t in range(max_len):
+        logits = model.apply(variables, memory, jnp.asarray(tokens[:, :-1]),
+                             method=model.decode_logits)
+        nxt = np.argmax(np.asarray(logits[:, t]), axis=-1)
+        nxt = np.where(finished, 0, nxt)
+        tokens[:, t + 1] = nxt
+        finished |= nxt == 2
+    np.testing.assert_array_equal(np.asarray(cached), tokens[:, 1:])
