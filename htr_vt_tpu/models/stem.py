@@ -53,8 +53,10 @@ class BasicBlock(nn.Module):
 
 
 def _max_pool_3x3(x, strides: Tuple[int, int]):
-    # torch MaxPool2d(kernel_size=3, stride, padding=1); pad with -inf so the
-    # border padding never wins the max.
+    # torch MaxPool2d(kernel_size=3, stride, padding=1). XLA's native
+    # select-and-scatter backward wins on TPU — the scatter-based custom VJP
+    # in ops/pool.py is exact but 2x slower end-to-end (measured; see its
+    # docstring), so the native op stays.
     return nn.max_pool(x, window_shape=(3, 3), strides=strides,
                        padding=((1, 1), (1, 1)))
 
