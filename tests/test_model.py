@@ -92,3 +92,16 @@ def test_create_model_factory():
     model = create_model(nb_cls=80)
     assert model.cfg.embed_dim == 768 and model.cfg.depth == 4
     assert model.cfg.num_heads == 6 and model.cfg.num_tokens == 128
+
+
+def test_wide_line_config():
+    """Long-line support is a config: 1024-px lines -> 256 tokens, windowed
+    attention still partitions evenly (the reference instead squeezes
+    everything to 512 px)."""
+    cfg = tiny_cfg(img_size=(64, 256), encoder="window", depth=3,
+                   window_size=16, num_window_blocks=2)
+    assert cfg.num_tokens == 64
+    model, variables, _ = init_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 256, 1))
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 64, cfg.nb_cls)
