@@ -115,3 +115,25 @@ def test_masking_identical_across_shardings():
         mesh, jax.sharding.PartitionSpec())),
         {k: jax.device_put(jnp.asarray(v), bsh) for k, v in batch.items()})
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-4)
+
+
+def test_spatial_parallel_width_sharding():
+    """Sequence/spatial parallelism: sharding the image width over the model
+    axis (GSPMD halo exchange for convs) must reproduce the dp-only loss."""
+    cfg, model, state, batch = _setup()
+    pcfg = ParallelConfig(mesh_shape=(2, 4))
+    cfg = dataclasses.replace(cfg, parallel=pcfg)
+    mesh = make_mesh(pcfg)
+    step = jax.jit(functools.partial(train_step, model, cfg))
+
+    img_sp = jax.device_put(jnp.asarray(batch["image"]), jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data", None, "model", None)))
+    dp = lambda v: jax.device_put(jnp.asarray(v), jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("data")))
+    b_sp = {"image": img_sp, "labels": dp(batch["labels"]),
+            "label_lengths": dp(batch["label_lengths"])}
+    b_dp = {k: dp(v) for k, v in batch.items()}
+
+    _, m_sp = step(state, b_sp)
+    _, m_dp = step(state, b_dp)
+    np.testing.assert_allclose(float(m_sp["loss"]), float(m_dp["loss"]), rtol=1e-4)
