@@ -17,7 +17,10 @@ from typing import Dict, Optional
 
 
 def get_logger(out_dir: str, name: str = "htrvt") -> logging.Logger:
-    logger = logging.getLogger(name)
+    """File+stdout logger writing to <out_dir>/run.log. One logger per run
+    directory, so several fit() calls in one process each get their own
+    run.log (a singleton would keep appending to the first run's file)."""
+    logger = logging.getLogger(f"{name}:{os.path.abspath(out_dir)}")
     logger.setLevel(logging.INFO)
     if logger.handlers:
         return logger
