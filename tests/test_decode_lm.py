@@ -110,3 +110,39 @@ def test_batched_simple_beam_matches_sequential():
         want = [(tuple(s), round(sc, 6)) for s, sc in seq_ref]
         assert got[0] == want[0]
         assert {g[0] for g in got} == {w[0] for w in want}
+
+
+def test_train_ngram_arpa_and_score(tmp_path):
+    """LM trained on a corpus must load in both scorers and prefer in-domain
+    sentences."""
+    from htr_vt_tpu.decode.lm_train import train_ngram_arpa
+    corpus = ["the cat sat on the mat", "the dog sat on the log",
+              "a cat and a dog", "the cat and the dog sat"] * 5
+    path = str(tmp_path / "lm.arpa")
+    counts = train_ngram_arpa(corpus, path, order=3, level="word")
+    assert counts[1] > 5 and counts[3] > 5
+
+    scorer = NgramScorer(path)
+    assert scorer.order == 3
+    in_domain = scorer.score("the cat sat on the mat")
+    shuffled = scorer.score("mat the on sat cat the")
+    oov = scorer.score("zyx qwv bbn mmq ppz qqr")  # same token count
+    assert in_domain > shuffled > oov
+
+    # native and python agree on the generated file too
+    from htr_vt_tpu.native.build import load_native
+    if load_native() is not None:
+        py = _PythonArpa(path)
+        for s in ["the cat sat", "a dog", "unknown words here"]:
+            assert abs(scorer.score(s) - py.score(s)) < 1e-4
+
+
+def test_char_level_lm(tmp_path):
+    from htr_vt_tpu.decode.lm_train import chars_for_lm, train_ngram_arpa
+    corpus = ["hello world", "hello there", "world of words"] * 3
+    path = str(tmp_path / "char.arpa")
+    train_ngram_arpa(corpus, path, order=4, level="char")
+    scorer = NgramScorer(path)
+    good = scorer.score(chars_for_lm("hello world"))
+    bad = scorer.score(chars_for_lm("hxqzo wzrld"))
+    assert good > bad
