@@ -39,6 +39,8 @@ def main() -> None:
     parser.add_argument("--lm-weight", type=float, default=1.0)
     parser.add_argument("--ctc-weight", type=float, default=0.0)
     parser.add_argument("--proper-beam", action="store_true", default=False)
+    parser.add_argument("--char-lm", action="store_true", default=False,
+                        help="ARPA is character-level (tokens = chars, <sp> for space)")
     parser.add_argument("--split", type=str, default="test", choices=["val", "test"])
     parser.add_argument("--results-out", type=str, default=None)
     args = parser.parse_args()
@@ -59,6 +61,10 @@ def main() -> None:
     state, _ = ckpt.restore(args.checkpoint, template)
     eval_fn = jit_eval_step(model, cfg)
     scorer = NgramScorer(args.arpa)
+    if args.char_lm:
+        from htr_vt_tpu.decode.lm_train import chars_for_lm
+        base_score = scorer.score
+        scorer.score = lambda text: base_score(chars_for_lm(text))
 
     def ids_to_text(ids) -> str:
         return "".join(converter.character[i] for i in ids
