@@ -16,9 +16,11 @@ from PIL import Image
 
 
 def resize_keep_aspect(img: np.ndarray, max_w: int, max_h: int) -> np.ndarray:
-    """Reference ``npThum``: new_h = max_h, new_w = min(w * max_h / h, max_w)."""
+    """Reference ``npThum``: new_h = max_h, new_w = min(w * max_h / h, max_w).
+    Degenerate ultra-narrow inputs are clamped to 1 px (the reference would
+    crash PIL with width 0)."""
     h, w = img.shape[:2]
-    new_w = min(int(w * max_h / h), max_w)
+    new_w = max(1, min(int(w * max_h / h), max_w))
     return np.array(Image.fromarray(img).resize((new_w, max_h)))
 
 

@@ -107,3 +107,20 @@ def test_ctc_variable_logit_lengths():
     got = np.asarray(ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
                               jnp.asarray(lengths), jnp.asarray(logit_lengths)))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_empty_label_matches_torch():
+    """Zero-length targets (blank-only alignment) are legal in the datasets."""
+    rng = np.random.default_rng(9)
+    logits = rng.standard_normal((2, 10, 5)).astype(np.float32)
+    labels = np.zeros((2, 4), np.int64)
+    labels[1, :2] = [1, 2]
+    lengths = np.array([0, 2], np.int64)
+    got = np.asarray(ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
+                              jnp.asarray(lengths)))
+    ref = _torch_ctc(logits, np.array([1, 2], np.int64), lengths,
+                     np.full((2,), 10, np.int64))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    grad = jax.grad(lambda l: ctc_loss(l, jnp.asarray(labels),
+                                       jnp.asarray(lengths)).sum())(jnp.asarray(logits))
+    assert np.all(np.isfinite(np.asarray(grad)))

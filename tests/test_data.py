@@ -104,3 +104,9 @@ def test_eval_batches_pads_last():
 def test_choose_max_label_len():
     assert choose_max_label_len(["ab", "abcdefghi"], num_frames=128) == 16
     assert choose_max_label_len(["x" * 500], num_frames=128) == 128  # CTC cap
+
+
+def test_degenerate_narrow_image():
+    """Ultra-narrow inputs clamp to 1 px instead of crashing PIL."""
+    out = prepare_line_image(np.zeros((500, 1), np.uint8), 512, 64)
+    assert out.shape == (64, 512, 1)
