@@ -11,9 +11,8 @@ from __future__ import annotations
 import argparse
 import dataclasses
 
-from htr_vt_tpu.config import (AugmentConfig, DataConfig, ExperimentConfig,
-                               MaskConfig, ModelConfig, OptimConfig, SGMConfig,
-                               TrainConfig, dataset_preset)
+from htr_vt_tpu.config import (AugmentConfig, ExperimentConfig, MaskConfig,
+                               SGMConfig, dataset_preset)
 from htr_vt_tpu.models.registry import available_encoders
 
 

@@ -17,7 +17,7 @@ prefetching loader.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import cv2
 import numpy as np

@@ -17,7 +17,7 @@ import os
 import shutil
 import tarfile
 import xml.etree.ElementTree as ET
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 from PIL import Image

@@ -9,8 +9,6 @@ static 128-token grid — a feature on TPU (one XLA program, §5 of SURVEY).
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 from PIL import Image
 

@@ -18,7 +18,7 @@ import numpy as np
 
 from htr_vt_tpu.config import AugmentConfig, DataConfig
 from htr_vt_tpu.data.augment import augment_batch
-from htr_vt_tpu.data.image import from_uint8, load_line_image, prepare_line_image, to_uint8
+from htr_vt_tpu.data.image import from_uint8, load_line_image, to_uint8
 from htr_vt_tpu.data.lists import LineIndex
 from htr_vt_tpu.data.synthetic import SyntheticLineDataset
 from htr_vt_tpu.text.converter import CTCLabelConverter

@@ -8,7 +8,7 @@ tgz), which makes its pipeline untestable without licensed data.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import cv2
 import numpy as np

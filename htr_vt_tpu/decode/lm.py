@@ -10,10 +10,7 @@ transformers-based implementation that requires locally available weights
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional, Sequence, Tuple
-
-import numpy as np
 
 from htr_vt_tpu.native.build import load_native
 

@@ -21,7 +21,7 @@ row). This module completes the family TPU-natively:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ model_v1/model/HTR_VT.py:4) and its numpy sin-cos positional-embedding helpers
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

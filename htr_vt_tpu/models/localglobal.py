@@ -14,8 +14,6 @@ interpolates back, and scales by a learned alpha gate (plg.py alpha_init).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

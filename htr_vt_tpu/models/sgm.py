@@ -15,7 +15,7 @@ host with *fixed* [B, Lmax, S] shapes so the jitted step sees static shapes.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

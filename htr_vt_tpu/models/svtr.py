@@ -15,7 +15,7 @@ Python double loop; here they are static numpy constants per stage.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from htr_vt_tpu.config import ModelConfig
 from htr_vt_tpu.models import masking
-from htr_vt_tpu.models.layers import Mlp, global_layer_norm
+from htr_vt_tpu.models.layers import Mlp
 from htr_vt_tpu.models.stem import ResNet18Stem
 from htr_vt_tpu.models.vit import multi_head_attention
 

@@ -17,8 +17,6 @@ van2 (model_sgm_mms_attach_van_2): stages [(D/4,(2,1)), (D/2,(2,2)),
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -8,7 +8,6 @@ compiler is present (e.g. stripped inference containers).
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -23,7 +23,6 @@ reference-semantics notes; unit tests compare all three implementations.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np
@@ -24,7 +23,7 @@ from htr_vt_tpu.eval.validate import validate
 from htr_vt_tpu.models.htr_vt import build_model
 from htr_vt_tpu.parallel.mesh import batch_sharding, make_mesh, maybe_initialize_distributed
 from htr_vt_tpu.train.checkpoint import CheckpointManager
-from htr_vt_tpu.train.state import TrainState, create_train_state, param_count
+from htr_vt_tpu.train.state import create_train_state, param_count
 from htr_vt_tpu.train.step import jit_eval_step, jit_train_step
 from htr_vt_tpu.utils.logging import ScalarWriter, StepTimer, get_logger, maybe_profile
 

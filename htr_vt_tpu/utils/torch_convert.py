@@ -125,7 +125,6 @@ def reference_state_dict_to_tree(sd: Dict[str, np.ndarray]):
 def tree_to_reference_state_dict(params, batch_stats) -> Dict[str, np.ndarray]:
     """Inverse mapping: export HTRVT weights in the reference's torch layout
     (enables checking parity in the original repo)."""
-    import jax
     sd: Dict[str, np.ndarray] = {}
 
     def put_bn(src_parent, name, dst):
