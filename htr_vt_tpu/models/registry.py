@@ -37,4 +37,6 @@ def build_encoder_blocks(cfg) -> List[nn.Module]:
 
 def available_encoders() -> List[str]:
     import htr_vt_tpu.models.variants  # noqa: F401
-    return sorted(_ENCODERS)
+    # swin and svtr are standalone model classes dispatched by build_model,
+    # not block recipes — still valid --encoder values.
+    return sorted(set(_ENCODERS) | {"swin", "svtr"})

@@ -128,10 +128,15 @@ def ctc_loss_mean(logits, labels, label_lengths, logit_lengths=None, blank: int 
 
 
 def ctc_loss_auto(logits, labels, label_lengths, blank: int = 0) -> jax.Array:
-    """Backend dispatch: the Pallas VMEM-resident forward-backward on TPU
-    (ops/ctc_pallas.py), the scan recursion elsewhere. Full-frame logits
-    (the HTR pipeline always emits T frames per sample)."""
-    if jax.default_backend() == "tpu":
+    """Backend dispatch: the Pallas VMEM-resident forward-backward on a
+    single TPU chip (ops/ctc_pallas.py), the scan recursion elsewhere.
+    Full-frame logits (the HTR pipeline always emits T frames per sample).
+
+    Multi-device note: pallas_call has no SPMD partitioning rule here, so
+    under a multi-chip mesh the scan path is used (correct, ~20x slower on
+    the CTC component only); wrapping the kernels in shard_map over the data
+    axis is the planned lift."""
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
         from htr_vt_tpu.ops.ctc_pallas import ctc_loss_pallas
         return ctc_loss_pallas(logits, labels, label_lengths, blank)
     return ctc_loss(logits, labels, label_lengths, blank=blank)
