@@ -175,6 +175,31 @@ def _ctc_bwd(tile_b, residuals, g):
 _ctc_neglogp.defvjp(_ctc_fwd, _ctc_bwd)
 
 
+def ctc_loss_pallas_sharded(logits: jax.Array, labels: jax.Array,
+                            label_lengths: jax.Array, mesh, data_axis: str,
+                            blank: int = 0) -> jax.Array:
+    """Data-parallel Pallas CTC: each device runs the kernels on its batch
+    shard via shard_map (the loss is independent per sample, so no
+    collectives are needed). Validated in interpret mode on the CPU mesh;
+    on a multi-chip TPU mesh each shard compiles the same Mosaic kernels."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map as _shard_map  # jax >= 0.6 style
+        shard_map = functools.partial(_shard_map, mesh=mesh)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+        shard_map = functools.partial(_shard_map, mesh=mesh)
+
+    fn = functools.partial(ctc_loss_pallas, blank=blank)
+    # check_vma=False: pallas_call outputs don't carry varying-mesh-axis
+    # metadata; the per-shard computation is trivially batch-varying.
+    wrapped = shard_map(
+        fn,
+        in_specs=(P(data_axis, None, None), P(data_axis, None), P(data_axis)),
+        out_specs=P(data_axis), check_vma=False)
+    return wrapped(logits, labels, label_lengths)
+
+
 def ctc_loss_pallas(logits: jax.Array, labels: jax.Array,
                     label_lengths: jax.Array, blank: int = 0,
                     zero_infinity: bool = True) -> jax.Array:
