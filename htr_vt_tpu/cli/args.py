@@ -27,6 +27,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--resume", "--resume_checkpoint", dest="resume", type=str,
                    default=None)
+    p.add_argument("--load-model", type=str, default=None,
+                   help="initialize weights from a checkpoint (fresh optimizer)")
+    p.add_argument("--load-encoder-only", action="store_true", default=False)
 
     # model
     p.add_argument("--encoder", type=str, default="vit",
@@ -155,6 +158,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         seed=args.seed, total_iters=args.total_iter, eval_iters=args.eval_iter,
         print_iters=args.print_iter, resume=args.resume,
         use_wandb=args.use_wandb, wandb_project=args.wandb_project,
-        profile_dir=args.profile_dir, tri_masked=args.tri_masked)
+        profile_dir=args.profile_dir, tri_masked=args.tri_masked,
+        load_model=args.load_model, load_encoder_only=args.load_encoder_only)
 
     return dataclasses.replace(cfg, model=model, optim=optim, data=data, train=train)

@@ -203,6 +203,11 @@ class TrainConfig:
     eval_iters: int = 1000
     print_iters: int = 100
     resume: Optional[str] = None
+    # Transfer learning (reference model_v1/utils/option.py:96-99): initialize
+    # weights from a checkpoint without optimizer state/step; optionally only
+    # the encoder trunk (stem + blocks + norm), keeping a fresh head.
+    load_model: Optional[str] = None
+    load_encoder_only: bool = False
     keep_checkpoints: int = 5
     use_wandb: bool = False
     wandb_project: str = "None"

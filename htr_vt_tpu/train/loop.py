@@ -89,6 +89,32 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
 
     ckpt = CheckpointManager(save_dir, keep=cfg.train.keep_checkpoints)
     best_cer, best_wer, start_step = 1e6, 1e6, 0
+
+    if cfg.train.load_model:
+        # Weight-only initialization (fresh optimizer/step); optionally just
+        # the encoder trunk for transfer learning.
+        src_mgr = CheckpointManager(os.path.dirname(
+            cfg.train.load_model.rstrip("/")) or ".")
+        loaded, _ = src_mgr.restore(cfg.train.load_model, state)
+        if cfg.train.load_encoder_only:
+            head_keys = {"head", "sgm_head", "lm_head", "embed", "final_norm"}
+            params = dict(state.params)
+            ema = dict(state.ema_params)
+            for k in loaded.params:
+                if k not in head_keys:
+                    params[k] = loaded.params[k]
+                    ema[k] = loaded.ema_params[k]
+            state = state.replace(params=params, ema_params=ema,
+                                  batch_stats=loaded.batch_stats,
+                                  ema_batch_stats=loaded.ema_batch_stats)
+            logger.info("loaded encoder weights from %s", cfg.train.load_model)
+        else:
+            state = state.replace(params=loaded.params,
+                                  ema_params=loaded.ema_params,
+                                  batch_stats=loaded.batch_stats,
+                                  ema_batch_stats=loaded.ema_batch_stats)
+            logger.info("loaded model weights from %s", cfg.train.load_model)
+
     resume = cfg.train.resume
     if resume == "auto":
         # Elastic restart convenience: pick up the latest rolling checkpoint

@@ -54,3 +54,23 @@ def test_fit_writes_artifacts_and_resumes(tmp_path):
     rolling2 = sorted(glob.glob(os.path.join(run_dir, "checkpoint_*")))
     steps = [json.load(open(os.path.join(r, "meta.json")))["step"] for r in rolling2]
     assert 6 in steps
+
+
+def test_load_model_and_encoder_only(tmp_path):
+    """--load-model initializes weights (fresh step); --load-encoder-only
+    keeps a fresh head (reference transfer-learning flags)."""
+    import dataclasses
+    import jax
+    import glob
+
+    cfg = tiny_experiment(tmp_path, exp_name="src_run", total=2)
+    fit(cfg)
+    src = glob.glob(os.path.join(str(tmp_path), "src_run", "checkpoint_*"))[0]
+
+    cfg2 = tiny_experiment(tmp_path, exp_name="ft_run", total=1)
+    cfg2 = dataclasses.replace(cfg2, train=dataclasses.replace(
+        cfg2.train, load_model=src, load_encoder_only=True))
+    result = fit(cfg2)
+    assert np.isfinite(result["best_cer"])
+    log = open(os.path.join(str(tmp_path), "ft_run", "run.log")).read()
+    assert "loaded encoder weights" in log
