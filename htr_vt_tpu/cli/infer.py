@@ -35,6 +35,10 @@ def main() -> None:
     parser.add_argument("--binarize-sweep", action="store_true", default=False,
                         help="try several binarization thresholds and report each"
                              " (quick_inference.py threshold sweep)")
+    parser.add_argument("--llm-correct", type=str, default=None, metavar="MODEL",
+                        help="local path/name of a masked-LM for word correction"
+                             " (quick_inference_llm.py equivalent; requires"
+                             " transformers + locally available weights)")
     args = parser.parse_args()
     cfg = args_to_config(args)
 
@@ -58,6 +62,15 @@ def main() -> None:
         for th in (0.3, 0.4, 0.5, 0.6, 0.7):
             variants.append((f"bin@{th}", binarize(prepare_line_image(raw, w, h), th)))
 
+    corrector, vocabulary = None, None
+    if args.llm_correct:
+        try:
+            from htr_vt_tpu.decode.lm import RobertaCorrector
+            corrector = RobertaCorrector(args.llm_correct)
+            vocabulary = {w.lower() for t in train_ds.labels for w in t.split()}
+        except Exception as e:  # zero-egress deployments have no weights
+            print(f"(LLM correction unavailable: {e})")
+
     for name, img in variants:
         batch = {"image": img[None],
                  "labels": np.zeros((1, 8), np.int32),
@@ -65,6 +78,8 @@ def main() -> None:
         out = eval_fn(state.ema_params, state.ema_batch_stats, batch)
         text = converter.decode_batch(np.asarray(out["pred_ids"]))[0]
         print(f"[{name}] {text}")
+        if corrector is not None:
+            print(f"[{name}+llm] {corrector.correct(text, vocabulary)}")
 
 
 if __name__ == "__main__":
