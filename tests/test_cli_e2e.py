@@ -1,0 +1,84 @@
+"""End-to-end CLI coverage: train -> test -> infer -> serve -> test_with_lm
+share one tiny checkpoint trained in-process."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+ARGS_COMMON = ["--embed-dim", "64", "--depth", "1", "--num-heads", "2",
+               "--compute-dtype", "float32", "--mask-ratio", "0.2",
+               "--max-span-length", "2", "--num-workers", "2"]
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli"))
+    sys.argv = ["train", "SYNTH", "--exp-name", "e2e", "--out-dir", out,
+                "--train-bs", "8", "--val-bs", "8", "--total-iter", "4",
+                "--eval-iter", "4", "--print-iter", "2", "--warm-up-iter", "1",
+                *ARGS_COMMON]
+    from htr_vt_tpu.cli.train import main
+    main()
+    return os.path.join(out, "e2e")
+
+
+def test_train_artifacts(run_dir):
+    assert os.path.exists(os.path.join(run_dir, "best_CER"))
+    assert os.path.exists(os.path.join(run_dir, "run.log"))
+
+
+def test_cli_test_writes_predictions(run_dir):
+    out = os.path.dirname(run_dir)
+    sys.argv = ["test", "SYNTH", "--checkpoint", os.path.join(run_dir, "best_CER"),
+                "--out-dir", out, "--exp-name", "e2e", "--val-bs", "8",
+                *ARGS_COMMON]
+    from htr_vt_tpu.cli.test import main
+    main()
+    preds = json.load(open(os.path.join(run_dir, "predictions.json")))
+    assert "CER" in preds and len(preds["samples"]) == 64
+    assert {"prediction", "label", "cer", "wer"} <= set(preds["samples"][0])
+
+
+def test_cli_infer_runs(run_dir, tmp_path, capsys):
+    from htr_vt_tpu.data.synthetic import render_line
+    img_path = str(tmp_path / "line.png")
+    Image.fromarray(render_line("hello", 64, 512)).save(img_path)
+    sys.argv = ["infer", "SYNTH", "--checkpoint", os.path.join(run_dir, "best_CER"),
+                "--image", img_path, *ARGS_COMMON]
+    from htr_vt_tpu.cli.infer import main
+    main()
+    assert "[raw]" in capsys.readouterr().out
+
+
+def test_cli_serve_jsonl(run_dir, tmp_path):
+    from htr_vt_tpu.data.synthetic import SyntheticLineDataset
+    ds = SyntheticLineDataset(3, seed=5)
+    for i in range(3):
+        Image.fromarray(ds[i][0]).save(str(tmp_path / f"l{i}.png"))
+    out_file = str(tmp_path / "out.jsonl")
+    sys.argv = ["serve", "SYNTH", "--checkpoint", os.path.join(run_dir, "best_CER"),
+                "--images", str(tmp_path / "l*.png"), "--batch-size", "2",
+                "--out", out_file, *ARGS_COMMON]
+    from htr_vt_tpu.cli.serve import main
+    main()
+    records = [json.loads(l) for l in open(out_file)]
+    assert len(records) == 3
+    assert all({"image", "text"} <= set(r) for r in records)
+
+
+def test_cli_test_with_lm(run_dir, tmp_path):
+    from htr_vt_tpu.decode.lm_train import train_ngram_arpa
+    arpa = str(tmp_path / "lm.arpa")
+    train_ngram_arpa(["hello world", "some words here"] * 3, arpa, order=2)
+    sys.argv = ["lm", "SYNTH", "--checkpoint", os.path.join(run_dir, "best_CER"),
+                "--arpa", arpa, "--val-bs", "8", "--beam-width", "3",
+                "--out-dir", os.path.dirname(run_dir), "--exp-name", "e2e",
+                *ARGS_COMMON]
+    from htr_vt_tpu.cli.test_with_lm import main
+    main()
+    res = json.load(open(os.path.join(run_dir, "kenlm_correction_results.json")))
+    assert "cer" in res and len(res["samples"]) == 64
