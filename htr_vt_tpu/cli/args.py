@@ -98,6 +98,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--proba", type=float, default=0.5)
     p.add_argument("--no-augment", action="store_true", default=False)
     p.add_argument("--vietnamese-charset", action="store_true", default=False)
+    p.add_argument("--max-label-len", type=int, default=None,
+                   help="drop training lines with longer labels (reference mln filter)")
 
     # misc
     p.add_argument("--use-wandb", action="store_true", default=False)
@@ -137,6 +139,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
     data_kw = dict(img_size=img_size, train_bs=args.train_bs, val_bs=args.val_bs,
                    num_workers=args.num_workers,
                    vietnamese_charset=args.vietnamese_charset,
+                   max_label_len=args.max_label_len,
                    augment=AugmentConfig(
                        enable=not args.no_augment, proj=args.proj,
                        dila_ero_max_kernel=args.dila_ero_max_kernel,

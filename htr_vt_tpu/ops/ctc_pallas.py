@@ -12,7 +12,8 @@ Structure:
   alpha kernel:   alpha[B, T, S] forward recursion          (this file)
   beta kernel:    beta[B, T, S] backward recursion          (this file)
   XLA side:       loss = -logsumexp(final alpha states)
-                  dlp = -exp(alpha + beta - lp - total) * g (fused elementwise)
+                  dlp = -exp(alpha + beta - total) * g (fused elementwise;
+                  beta excludes its own frame's emission)
                   d logits via autodiff of the gather + log_softmax
 
 The extended-label semantics (blank interleaving, no-skip into repeated
