@@ -93,9 +93,16 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--dila-ero-iter", type=int, default=1)
     p.add_argument("--jitter-brightness", type=float, default=0.4)
     p.add_argument("--jitter-contrast", type=float, default=0.4)
+    # Accepted for reference flag parity; identity on grayscale line images
+    # (torchvision ColorJitter saturation/hue are no-ops on 'L' inputs), so
+    # they are not forwarded into AugmentConfig.
     p.add_argument("--jitter-saturation", type=float, default=0.4)
     p.add_argument("--jitter-hue", type=float, default=0.2)
     p.add_argument("--proba", type=float, default=0.5)
+    p.add_argument("--sampling", type=str, default="epoch",
+                   choices=["epoch", "iid"],
+                   help="epoch = epoch-shuffled like the reference DataLoader; "
+                        "iid = per-batch i.i.d. draws")
     p.add_argument("--no-augment", action="store_true", default=False)
     p.add_argument("--vietnamese-charset", action="store_true", default=False)
     p.add_argument("--max-label-len", type=int, default=None,
@@ -137,7 +144,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         ema_decay=args.ema_decay, sam_rho=args.sam_rho)
 
     data_kw = dict(img_size=img_size, train_bs=args.train_bs, val_bs=args.val_bs,
-                   num_workers=args.num_workers,
+                   num_workers=args.num_workers, sampling=args.sampling,
                    vietnamese_charset=args.vietnamese_charset,
                    max_label_len=args.max_label_len,
                    augment=AugmentConfig(
@@ -146,8 +153,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
                        dila_ero_iter=args.dila_ero_iter,
                        jitter_brightness=args.jitter_brightness,
                        jitter_contrast=args.jitter_contrast,
-                       jitter_saturation=args.jitter_saturation,
-                       jitter_hue=args.jitter_hue, proba=args.proba))
+                       proba=args.proba))
     for flag, field in [("train_data_list", "train_list"), ("val_data_list", "val_list"),
                         ("test_data_list", "test_list"), ("data_path", "data_path")]:
         v = getattr(args, flag)

@@ -30,9 +30,6 @@ class MaskConfig:
     mms_random_ratio: float = 0.3
     mms_block_ratio: float = 0.2
     mms_span_ratio: float = 0.2
-    # Minimum gap between consecutive spans for the spacing-constrained span
-    # strategy (reference spacing policy in the MMS span generator).
-    span_spacing: int = 0
 
 
 @dataclass(frozen=True)
@@ -150,10 +147,12 @@ class AugmentConfig:
     proj: float = 8.0
     dila_ero_max_kernel: int = 3
     dila_ero_iter: int = 1
+    # Saturation/hue jitter are not represented: the pipeline (like the
+    # reference's) operates on grayscale 'L' images, where torchvision's
+    # ColorJitter saturation/hue components are mathematically identity. The
+    # CLI still accepts --jitter-saturation/--jitter-hue for flag parity.
     jitter_brightness: float = 0.4
     jitter_contrast: float = 0.4
-    jitter_saturation: float = 0.4
-    jitter_hue: float = 0.2
     proba: float = 0.5
 
 
@@ -168,6 +167,10 @@ class DataConfig:
     train_bs: int = 128
     val_bs: int = 8
     num_workers: int = 8
+    # Batch sampling: "epoch" = epoch-shuffled, each sample exactly once per
+    # epoch (reference DataLoader(shuffle=True) + cycle_data,
+    # data/dataset.py:169-172); "iid" = per-batch i.i.d. draws.
+    sampling: str = "epoch"
     # Force the fork's enumerated ASCII+Vietnamese alphabet instead of the
     # data-derived one (reference: model_v1/data/dataset.py:60-81; the
     # mms_detach variant reverts to data-derived).

@@ -100,19 +100,61 @@ def choose_max_label_len(labels: Sequence[str], num_frames: int = 128,
     return max(multiple, min(padded, num_frames))
 
 
+class _EpochSampler:
+    """Shared epoch-shuffled index stream (reference semantics: torch
+    DataLoader(shuffle=True) cycled by cycle_data, data/dataset.py:169-172 —
+    every sample appears exactly once per epoch, reshuffled each epoch).
+
+    Fixed-shape batching requires full batches, so a batch may straddle the
+    epoch boundary (the reference's last partial batch is instead smaller);
+    the exactly-once-per-epoch guarantee is preserved.
+    """
+
+    def __init__(self, n: int, seed: int):
+        self._n = n
+        self._rng = np.random.default_rng(seed)
+        self._perm = self._rng.permutation(n)
+        self._pos = 0
+        self._lock = threading.Lock()
+
+    def next_batch(self, batch_size: int) -> np.ndarray:
+        with self._lock:
+            out = []
+            got = 0
+            while got < batch_size:
+                take = min(batch_size - got, self._n - self._pos)
+                out.append(self._perm[self._pos:self._pos + take])
+                got += take
+                self._pos += take
+                if self._pos == self._n:
+                    self._perm = self._rng.permutation(self._n)
+                    self._pos = 0
+            return np.concatenate(out)
+
+
 class TrainLoader:
-    """Infinite shuffled loader with background batch construction."""
+    """Infinite shuffled loader with background batch construction.
+
+    sampling="epoch" (default) follows the reference's epoch-shuffled
+    DataLoader; sampling="iid" draws each batch i.i.d. per worker (items may
+    repeat across adjacent batches, no per-epoch guarantee — cheaper
+    coordination, statistically equivalent for 100k-iteration training).
+    """
 
     def __init__(self, dataset, converter: CTCLabelConverter, batch_size: int,
                  max_label_len: int, augment: Optional[AugmentConfig] = None,
                  seed: int = 0, num_threads: int = 4, prefetch: int = 4,
-                 extras_fn=None):
+                 extras_fn=None, sampling: str = "epoch"):
         self.dataset = dataset
         self.converter = converter
         self.batch_size = batch_size
         self.max_label_len = max_label_len
         self.augment = augment
         self.extras_fn = extras_fn
+        if sampling not in ("epoch", "iid"):
+            raise ValueError(f"sampling must be 'epoch' or 'iid', got {sampling!r}")
+        self._sampler = (_EpochSampler(len(dataset), seed)
+                         if sampling == "epoch" else None)
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._seed = seed
@@ -126,7 +168,10 @@ class TrainLoader:
         rng = np.random.default_rng(self._seed * 1000 + worker_id)
         n = len(self.dataset)
         while not self._stop.is_set():
-            idx = rng.choice(n, size=self.batch_size, replace=n < self.batch_size)
+            if self._sampler is not None:
+                idx = self._sampler.next_batch(self.batch_size)
+            else:
+                idx = rng.choice(n, size=self.batch_size, replace=n < self.batch_size)
             images, texts = [], []
             for i in idx:
                 im, tx = self.dataset[int(i)]

@@ -125,6 +125,61 @@ def upsample_tokens(x: jax.Array, target_len: int) -> jax.Array:
     return jnp.repeat(x, reps, axis=1)[:, :target_len]
 
 
+class SqueezeFormerEncoder(nn.Module):
+    """Two-stage temporal U-Net SqueezeFormer encoder
+    (model_sgm_mms_conv_squeeze/model/HTR_VT.py:288-363):
+
+        stage1 (d1 = depth//2 SE-gated Conformer blocks at N tokens)
+        -> avg-pool downsample to N/2
+        -> stage2 (d2 = depth - d1 blocks at N/2)
+        -> nearest upsample back to N  + skip from stage1
+        -> affine LayerNorm
+
+    Drop-path follows the reference's linspace(0, drop_path_total, depth)
+    split across the two stages. Presents the standard block interface so it
+    slots into HTRVT's encoder stack as a single unit."""
+
+    num_heads: int
+    depth: int = 4
+    mlp_ratio: float = 4.0
+    ff_drop: float = 0.1
+    attn_drop: float = 0.1
+    conv_drop: float = 0.1
+    conv_kernel: int = 3
+    se_ratio: float = 0.25
+    drop_path_total: float = 0.1
+    layer_norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        d1 = max(1, self.depth // 2)
+        d2 = max(1, self.depth - d1)
+        import numpy as np
+        dpr = np.linspace(0.0, self.drop_path_total, self.depth)
+
+        def block(i, dp, name):
+            return ConformerBlock(
+                num_heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                ff_drop=self.ff_drop, attn_drop=self.attn_drop,
+                conv_drop=self.conv_drop, conv_kernel=self.conv_kernel,
+                drop_path=float(dp), use_se=True,
+                layer_norm_eps=self.layer_norm_eps, dtype=self.dtype, name=name)
+
+        n0 = x.shape[1]
+        for i in range(d1):
+            x = block(i, dpr[i], f"stage1_block{i}")(x, deterministic=deterministic)
+        skip = x
+        x = downsample_tokens(x)
+        for i in range(d2):
+            x = block(i, dpr[d1 + i] if d1 + i < self.depth else 0.0,
+                      f"stage2_block{i}")(x, deterministic=deterministic)
+        x = upsample_tokens(x, n0)
+        x = x + skip
+        return nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=jnp.float32,
+                            name="out_norm")(x).astype(x.dtype)
+
+
 class ConformerBlock(nn.Module):
     """Half-FFN -> MHSA -> ConvModule -> half-FFN -> final LN
     (model_sgm_mms_conv/model/HTR_VT.py:228+); macaron-halved FFNs scaled 0.5.

@@ -223,9 +223,9 @@ def generate(model: HTREncoderDecoder, variables, image, *, method: str = "greed
     """Autoregressive generation with static shapes. Returns [B, max_len] ids
     (everything after the first <eos> is garbage; the tokenizer stops there).
 
-    Each step re-runs the decoder over the full (static-length) prefix —
-    O(L^2) but L<=128 and fully jittable; KV-caching is a planned
-    optimization, not a semantic change.
+    All methods (greedy / nucleus / beam) are KV-cached: cross-attention K,V
+    are prefilled once from the memory and self-attention caches grow in
+    place, so each step is O(1) decoder work under one lax.scan.
     """
     if method == "beam_search":
         return _beam_generate(model, variables, image, max_len=max_len,
@@ -287,7 +287,11 @@ def generate(model: HTREncoderDecoder, variables, image, *, method: str = "greed
 
 def _beam_generate(model, variables, image, *, max_len: int, sos_id: int,
                    eos_id: int, beam_size: int) -> jax.Array:
-    """Length-normalized beam search, vectorized as a [B*K] batch."""
+    """Beam search vectorized as a [B*K] batch with KV-cached decode steps.
+
+    Each step runs one cached decoder step per beam (O(1) decoder work) and
+    reorders the self-attention caches with the surviving beams, instead of
+    re-decoding the whole prefix (the O(L^2) shape this replaced)."""
     memory = model.apply(variables, image, method=model.encode)
     b, n, d = memory.shape
     k = beam_size
@@ -296,13 +300,21 @@ def _beam_generate(model, variables, image, *, max_len: int, sos_id: int,
     scores = jnp.tile(jnp.array([0.0] + [-1e9] * (k - 1)), (b,))  # only beam 0 live
     finished = jnp.zeros((b * k,), bool)
 
+    mem_kvs = model.apply(variables, mem, method=model.prefill)
+    layers = model.decoder_layers
+    heads = model.decoder_heads
+    hd = model.cfg.embed_dim // heads
+    dtype = jnp.dtype(model.cfg.compute_dtype)
+    self_ks = jnp.zeros((layers, b * k, heads, max_len, hd), dtype)
+    self_vs = jnp.zeros((layers, b * k, heads, max_len, hd), dtype)
+
     def step(carry, t):
-        tokens, scores, finished = carry
-        logits = model.apply(variables, mem, tokens[:, :-1],
-                             method=model.decode_logits)
-        v = logits.shape[-1]
-        logp = jax.nn.log_softmax(
-            logits[jnp.arange(b * k), t].astype(jnp.float32), axis=-1)  # [B*K, V]
+        tokens, scores, finished, ks, vs = carry
+        tok_t = jax.lax.dynamic_slice_in_dim(tokens, t, 1, axis=1)[:, 0]
+        logit_t, ks, vs = model.apply(variables, tok_t, t, mem_kvs, ks, vs,
+                                      method=model.decode_one)  # [B*K, V]
+        v = logit_t.shape[-1]
+        logp = jax.nn.log_softmax(logit_t.astype(jnp.float32), axis=-1)
         # finished beams only extend with pad at no cost
         pad_only = jnp.full((v,), -1e9).at[0].set(0.0)
         logp = jnp.where(finished[:, None], pad_only[None], logp)
@@ -311,12 +323,16 @@ def _beam_generate(model, variables, image, *, max_len: int, sos_id: int,
         top_scores, top_idx = jax.lax.top_k(cand, k)  # [B, K]
         beam_idx = top_idx // v + jnp.arange(b)[:, None] * k  # flat source beam
         tok_idx = (top_idx % v).astype(jnp.int32)
-        tokens = tokens[beam_idx.reshape(-1)]
+        flat = beam_idx.reshape(-1)
+        tokens = tokens[flat]
         tokens = tokens.at[:, t + 1].set(tok_idx.reshape(-1))
-        finished = finished[beam_idx.reshape(-1)] | (tok_idx.reshape(-1) == eos_id)
-        return (tokens, top_scores.reshape(-1), finished), None
+        finished = finished[flat] | (tok_idx.reshape(-1) == eos_id)
+        # carry each surviving beam's cache with it
+        ks = ks[:, flat]
+        vs = vs[:, flat]
+        return (tokens, top_scores.reshape(-1), finished, ks, vs), None
 
-    (tokens, scores, _), _ = jax.lax.scan(
-        step, (tokens, scores, finished), jnp.arange(max_len))
+    (tokens, scores, _, _, _), _ = jax.lax.scan(
+        step, (tokens, scores, finished, self_ks, self_vs), jnp.arange(max_len))
     best = jnp.argmax(scores.reshape(b, k), axis=1) + jnp.arange(b) * k
     return tokens[best, 1:]

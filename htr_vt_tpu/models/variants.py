@@ -15,7 +15,8 @@ import dataclasses
 import jax.numpy as jnp
 
 from htr_vt_tpu.config import ModelConfig
-from htr_vt_tpu.models.conv_blocks import ConformerBlock, ConvLocalMixer1D
+from htr_vt_tpu.models.conv_blocks import (ConformerBlock, ConvLocalMixer1D,
+                                           SqueezeFormerEncoder)
 from htr_vt_tpu.models.layers import drop_path_schedule
 from htr_vt_tpu.models.localglobal import LocalBlock1D, LocalGlobalParallelBlock
 from htr_vt_tpu.models.registry import register_encoder
@@ -140,14 +141,16 @@ def conformer_blocks(cfg: ModelConfig):
 
 @register_encoder("squeezeformer")
 def squeezeformer_blocks(cfg: ModelConfig):
-    """model_sgm_mms_conv_squeeze: Conformer blocks with SqueezeExcite gating
-    (architecture='squeezeformer' path, model/HTR_VT.py:553,569-570,880-894)."""
+    """model_sgm_mms_conv_squeeze: two-stage temporal U-Net of SE-gated
+    Conformer blocks — stage1 at N tokens, avg-pool downsample to N/2,
+    stage2, nearest upsample + skip, out-norm (SqueezeFormerEncoder,
+    model/HTR_VT.py:288-363; instantiated :569-584 with ff/attn/conv
+    dropout 0.1, kernel 3, se 0.25, drop_path 0.1)."""
     dtype = jnp.dtype(cfg.compute_dtype)
-    return [ConformerBlock(num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
-                           conv_kernel=cfg.conv_kernel, use_se=True,
-                           layer_norm_eps=cfg.layer_norm_eps, dtype=dtype,
-                           name=f"block{i}")
-            for i in range(cfg.depth)]
+    return [SqueezeFormerEncoder(
+        num_heads=cfg.num_heads, depth=cfg.depth, mlp_ratio=cfg.mlp_ratio,
+        conv_kernel=cfg.conv_kernel, drop_path_total=cfg.drop_path_rate,
+        layer_norm_eps=cfg.layer_norm_eps, dtype=dtype, name="encoder")]
 
 
 # ---------------------------------------------------------------------------
@@ -163,7 +166,9 @@ VARIANT_PRESETS = {
     "localglobal": {},
     "lgp": dict(depth=3),
     "conformer": {},
-    "squeezeformer": {},
+    # drop_path_total=0.1 (reference create_model default drop_path,
+    # model_sgm_mms_conv_squeeze/model/HTR_VT.py:552).
+    "squeezeformer": dict(drop_path_rate=0.1),
     "van": dict(stem="van"),
     "van2": dict(stem="van2"),
     "swin": {},

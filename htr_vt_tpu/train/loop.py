@@ -132,7 +132,8 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
 
     loader = TrainLoader(train_ds, converter, cfg.data.train_bs, max_label_len,
                          augment=cfg.data.augment, seed=cfg.train.seed,
-                         num_threads=cfg.data.num_workers, extras_fn=sgm_extras_fn)
+                         num_threads=cfg.data.num_workers, extras_fn=sgm_extras_fn,
+                         sampling=cfg.data.sampling)
     batches = device_prefetch(iter(loader), bsh)
 
     train_fn = jit_train_step(model, cfg, donate=cfg.train.donate_state)

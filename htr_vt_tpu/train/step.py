@@ -36,7 +36,8 @@ TRI_MASK_MODES = (("random", 0.30), ("block", 0.20), ("span_old", 0.20))
 
 def _forward_loss(model, cfg: ExperimentConfig, params, batch_stats,
                   batch: Batch, rng: jax.Array, mask_mode: Optional[str],
-                  mask_ratio: Optional[float] = None):
+                  mask_ratio: Optional[float] = None,
+                  step: Optional[jax.Array] = None):
     """One masked forward + CTC (+ optional SGM) loss. Returns (loss, aux)."""
     mask_rng, drop_rng = jax.random.split(rng)
     if cfg.model.model_type == "encoder_decoder":
@@ -71,7 +72,13 @@ def _forward_loss(model, cfg: ExperimentConfig, params, batch_stats,
     if use_sgm:
         sgm = cfg.model.sgm
         aux["loss_sgm"] = loss_sgm
-        loss = sgm.ctc_lambda * loss_ctc + sgm.sgm_lambda * loss_sgm
+        # SGM warmup gate (reference model_sgm_2/train.py:37,139: the SGM loss
+        # is disabled until nb_iter >= sgm_warmup_iters). Trace-safe: the gate
+        # is a scalar multiplier, no recompilation across the threshold.
+        sgm_scale = jnp.asarray(sgm.sgm_lambda, jnp.float32)
+        if sgm.warmup_iters > 0 and step is not None:
+            sgm_scale = sgm_scale * (step >= sgm.warmup_iters).astype(jnp.float32)
+        loss = sgm.ctc_lambda * loss_ctc + sgm_scale * loss_sgm
     else:
         loss = loss_ctc
     return loss, aux
@@ -80,19 +87,19 @@ def _forward_loss(model, cfg: ExperimentConfig, params, batch_stats,
 def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
     """Build the per-pass loss: single-mask (model_v1) or tri-masked (MMS)."""
     if not cfg.train.tri_masked:
-        def loss_fn(params, batch_stats, batch, rng):
+        def loss_fn(params, batch_stats, batch, rng, step=None):
             return _forward_loss(model, cfg, params, batch_stats, batch, rng,
-                                 mask_mode=None)
+                                 mask_mode=None, step=step)
         return loss_fn
 
-    def tri_loss_fn(params, batch_stats, batch, rng):
+    def tri_loss_fn(params, batch_stats, batch, rng, step=None):
         total = 0.0
         aux = {}
         bs = batch_stats
         rngs = jax.random.split(rng, len(TRI_MASK_MODES))
         for i, (mode, ratio) in enumerate(TRI_MASK_MODES):
             li, ai = _forward_loss(model, cfg, params, bs, batch, rngs[i],
-                                   mask_mode=mode, mask_ratio=ratio)
+                                   mask_mode=mode, mask_ratio=ratio, step=step)
             total = total + li
             bs = ai["batch_stats"]
         aux["batch_stats"] = bs
@@ -112,14 +119,16 @@ def train_step(model, cfg: ExperimentConfig, state: TrainState,
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     # SAM pass 1: gradient at w (reference train.py:122-124).
-    (loss1, aux1), grads1 = grad_fn(state.params, state.batch_stats, batch, rng1)
+    (loss1, aux1), grads1 = grad_fn(state.params, state.batch_stats, batch, rng1,
+                                    state.step)
     params_adv, gnorm = sam_perturb(state.params, grads1, cfg.optim.sam_rho,
                                     cfg.optim.sam_adaptive)
 
     # SAM pass 2: gradient at w + e(w), fresh mask randomness and sequential
     # BN-stat update, matching the reference's second full forward
     # (train.py:125-126).
-    (loss2, aux2), grads2 = grad_fn(params_adv, aux1["batch_stats"], batch, rng2)
+    (loss2, aux2), grads2 = grad_fn(params_adv, aux1["batch_stats"], batch, rng2,
+                                    state.step)
 
     updates, new_opt_state = tx.update(grads2, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)

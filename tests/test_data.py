@@ -110,3 +110,32 @@ def test_degenerate_narrow_image():
     """Ultra-narrow inputs clamp to 1 px instead of crashing PIL."""
     out = prepare_line_image(np.zeros((500, 1), np.uint8), 512, 64)
     assert out.shape == (64, 512, 1)
+
+
+def test_epoch_sampler_exactly_once_per_epoch():
+    """Epoch-shuffled sampling: every index appears exactly once per epoch,
+    reshuffled across epochs (reference DataLoader(shuffle=True) + cycle_data,
+    data/dataset.py:169-172)."""
+    from htr_vt_tpu.data.loader import _EpochSampler
+
+    n, bs = 10, 4
+    s = _EpochSampler(n, seed=3)
+    drawn = np.concatenate([s.next_batch(bs) for _ in range(10)])  # 4 epochs
+    for e in range(4):
+        epoch = np.sort(drawn[e * n:(e + 1) * n])
+        np.testing.assert_array_equal(epoch, np.arange(n))
+    # epochs are reshuffled, not repeated in the same order
+    assert not np.array_equal(drawn[:n], drawn[n:2 * n])
+
+
+def test_train_loader_epoch_sampling_threadsafe():
+    cfg = DataConfig(dataset="SYNTH", synth_train_size=8, img_size=(64, 256))
+    ds = build_dataset(cfg, "train")
+    conv = make_converter(cfg, ds)
+    loader = TrainLoader(ds, conv, batch_size=4, max_label_len=32,
+                         augment=None, num_threads=3, sampling="epoch")
+    try:
+        batches = [next(iter(loader)) for _ in range(6)]
+        assert all(b["image"].shape == (4, 64, 256, 1) for b in batches)
+    finally:
+        loader.close()

@@ -123,3 +123,43 @@ def test_cached_generation_matches_uncached():
         tokens[:, t + 1] = nxt
         finished |= nxt == 2
     np.testing.assert_array_equal(np.asarray(cached), tokens[:, 1:])
+
+
+def test_cached_beam_matches_uncached_beam():
+    """KV-cached beam search must equal the full-prefix-re-decode beam (the
+    round-1 implementation) on fixed inputs."""
+    model, variables, img = _tiny_ed()
+    img = jax.random.normal(jax.random.PRNGKey(9), (2, 64, 128, 1))
+    max_len, k = 6, 3
+
+    cached = np.asarray(generate(model, variables, img, method="beam_search",
+                                 max_len=max_len, beam_size=k))
+
+    # uncached reference beam: decode_logits over the whole prefix each step
+    memory = model.apply(variables, img, method=model.encode)
+    b = 2
+    mem = jnp.repeat(memory, k, axis=0)
+    tokens = np.zeros((b * k, max_len + 1), np.int32)
+    tokens[:, 0] = 1  # sos
+    scores = np.tile([0.0] + [-1e9] * (k - 1), b)
+    finished = np.zeros(b * k, bool)
+    for t in range(max_len):
+        logits = model.apply(variables, mem, jnp.asarray(tokens[:, :-1]),
+                             method=model.decode_logits)
+        logp = np.asarray(jax.nn.log_softmax(
+            logits[jnp.arange(b * k), t].astype(jnp.float32), axis=-1))
+        pad_only = np.full(logp.shape[-1], -1e9)
+        pad_only[0] = 0.0
+        logp = np.where(finished[:, None], pad_only[None], logp)
+        cand = (scores[:, None] + logp).reshape(b, -1)
+        v = logp.shape[-1]
+        top_idx = np.argsort(-cand, axis=1)[:, :k]
+        top_scores = np.take_along_axis(cand, top_idx, axis=1)
+        beam_idx = (top_idx // v + np.arange(b)[:, None] * k).reshape(-1)
+        tok_idx = (top_idx % v).reshape(-1).astype(np.int32)
+        tokens = tokens[beam_idx]
+        tokens[:, t + 1] = tok_idx
+        finished = finished[beam_idx] | (tok_idx == 2)
+        scores = top_scores.reshape(-1)
+    best = np.argmax(scores.reshape(b, k), axis=1) + np.arange(b) * k
+    np.testing.assert_array_equal(cached, tokens[best, 1:])

@@ -132,3 +132,45 @@ def test_sgm_detach_blocks_encoder_grad():
     sgm_grad = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["sgm_head"]))
     assert stem_grad == 0.0
     assert sgm_grad > 0.0
+
+
+def test_sgm_warmup_gates_loss():
+    """--sgm-warmup-iters: SGM loss contributes 0 to the total before the
+    threshold (reference model_sgm_2/train.py:37,139) and kicks in after."""
+    from htr_vt_tpu.config import ExperimentConfig, ModelConfig, SGMConfig
+    from htr_vt_tpu.models.htr_vt import HTRVT
+    from htr_vt_tpu.train.step import make_loss_fn
+
+    conv = CTCLabelConverter(list("ab"))
+    vocab = SGMVocab(conv)
+    cfg = ExperimentConfig(model=ModelConfig(
+        nb_cls=conv.num_classes, img_size=(64, 128), embed_dim=64, depth=1,
+        num_heads=2, compute_dtype="float32",
+        sgm=SGMConfig(enable=True, vocab_size=vocab.size, char_emb_dim=8,
+                      ctc_lambda=0.25, sgm_lambda=1.0, warmup_iters=10)))
+    model = HTRVT(cfg.model)
+    texts = ["ab", "ba"]
+    ctx = make_context_arrays(texts, vocab, 4, cfg.model.sgm.sub_len)
+    labels, lengths = conv.encode_padded(texts, 4)
+    batch = {"image": jnp.zeros((2, 64, 128, 1)),
+             "labels": jnp.asarray(labels), "label_lengths": jnp.asarray(lengths),
+             **{k: jnp.asarray(v) for k, v in ctx.items()}}
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "mask": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           batch["image"], sgm_batch=ctx)
+    loss_fn = make_loss_fn(model, cfg)
+    rng = jax.random.PRNGKey(7)
+
+    def total(step):
+        l, aux = loss_fn(variables["params"], variables.get("batch_stats", {}),
+                         batch, rng, jnp.asarray(step, jnp.int32))
+        return float(l), aux
+
+    before, aux_b = total(0)
+    at, aux_a = total(10)
+    # Before warmup the total is exactly ctc_lambda * ctc; after, SGM is added.
+    np.testing.assert_allclose(before, 0.25 * float(aux_b["loss_ctc"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        at, 0.25 * float(aux_a["loss_ctc"]) + float(aux_a["loss_sgm"]), rtol=1e-6)
+    assert at > before

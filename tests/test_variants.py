@@ -56,3 +56,43 @@ def test_all_reference_variants_have_presets():
     assert set(VARIANT_PRESETS) >= {
         "vit", "window", "macaron", "macaron_2", "localglobal", "lgp",
         "conformer", "squeezeformer", "van", "van2", "swin", "svtr"}
+
+
+def test_squeezeformer_unet_structure():
+    """The squeezeformer encoder is the reference's two-stage temporal U-Net
+    (model_sgm_mms_conv_squeeze/model/HTR_VT.py:288-363): stage1 at N tokens,
+    downsample to N/2, stage2, upsample + skip, out-norm."""
+    import dataclasses
+    cfg = dataclasses.replace(make_cfg("squeezeformer"), depth=4)
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 128, 1))
+    variables = model.init({"params": rng, "mask": rng, "dropout": rng}, x)
+
+    enc = variables["params"]["encoder"]
+    # depth 4 -> 2 blocks per stage, plus the fuse-out norm
+    assert {"stage1_block0", "stage1_block1", "stage2_block0",
+            "stage2_block1", "out_norm"} <= set(enc)
+    # SE gating present in every block
+    assert "se" in enc["stage1_block0"] and "se" in enc["stage2_block0"]
+
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 32, 12)  # 128-wide image -> 32 tokens, N preserved
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_down_up_sample_token_semantics():
+    """downsample = exact avg-pool k2 s2; upsample = nearest (repeat), matching
+    torch F.avg_pool1d / F.interpolate(mode='nearest')
+    (model_sgm_mms_conv_squeeze/model/HTR_VT.py:190-225)."""
+    from htr_vt_tpu.models.conv_blocks import downsample_tokens, upsample_tokens
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 8, 3)),
+                    jnp.float32)
+    d = downsample_tokens(x)
+    np.testing.assert_allclose(np.asarray(d[0, 0]),
+                               np.asarray((x[0, 0] + x[0, 1]) / 2), rtol=1e-6)
+    u = upsample_tokens(d, 8)
+    assert u.shape == (1, 8, 3)
+    np.testing.assert_array_equal(np.asarray(u[0, 0]), np.asarray(u[0, 1]))
+    np.testing.assert_array_equal(np.asarray(u[0, 0]), np.asarray(d[0, 0]))
