@@ -8,48 +8,151 @@ that collapse a [B, 64, 512, 1] line image to [B, 1, 128, C] — one token per
     conv1 (2,1) -> maxpool3 (2,1) -> stage1 (2,1) -> stage2 (2,2)
     -> stage3 (2,2) -> maxpool3 (2,1)
 
-BatchNorm runs in float32 with running averages; under jit over a
-batch-sharded array the batch statistics are computed over the *global* batch
-(XLA inserts the cross-replica reduction), which gives sync-BN semantics for
-data parallelism without any hand-written collective.
+BatchNorm runs in float32; under jit over a batch-sharded array the batch
+statistics are computed over the *global* batch (XLA inserts the
+cross-replica reduction), which gives sync-BN semantics for data parallelism
+without any hand-written collective.
+
+Dataflow re-design for the MXU (docs/PERF.md): BatchNorm is kept in its
+FOLDED form — each BN produces per-channel (scale, shift) from the batch
+statistics, and the normalize+ReLU is applied either (a) inside the next
+conv's Pallas kernel as a VMEM prologue (ops/conv_fused.py; XLA's version of
+that prologue fusion runs the conv at 33% MFU, the Pallas one at clean-conv
+speed), or (b) fused into the single residual-add+ReLU elementwise pass that
+closes the block. No separate full-tensor normalize pass ever runs.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from htr_vt_tpu.ops.conv_fused import (conv3x3_bn_relu,
+                                       conv3x3_bn_relu_reference)
 
 _CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def _conv_in(x):
+    """Barrier a conv's input so preceding elementwise work fuses into its
+    PRODUCER's epilogue, never into this conv's prologue (an XLA conv with a
+    fused normalize prologue runs at 33% MFU vs 83-90% clean — measured,
+    tools/microbench_conv3.py). The barrier's transpose is a barrier, so
+    dgrad convolutions get the same protection in the backward pass."""
+    return jax.lax.optimization_barrier(x)
+
+
+def _use_pallas(impl: str) -> bool:
+    # "auto" currently resolves to XLA: the Pallas fused conv wins standalone
+    # (96-99% MFU at stage2/3 incl. the prologue, tools/bench_conv_fused.py)
+    # but in-model it loses what it gains to layout copies at Pallas<->XLA
+    # boundaries ({3,2,1,0} vs the batch-minor {0,3,2,1} XLA prefers for
+    # convs) and to stage1's 192-channel MXU-tiling ceiling (55% either way).
+    # Measured end-to-end: 404 img/s pallas vs ~500 img/s XLA. Opt in with
+    # conv_impl="pallas"; revisit when Mosaic lowers the im2col tap concat.
+    if impl == "auto":
+        return False
+    return impl == "pallas"
+
+
+class _Conv3x3(nn.Module):
+    """Parameter holder keeping the flax tree path ``<name>/kernel``."""
+
+    features: int
+    in_features: int
+    ksize: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _CONV_INIT,
+                          (self.ksize, self.ksize, self.in_features,
+                           self.features))
+
+
+class FoldedBatchNorm(nn.Module):
+    """BatchNorm that returns folded per-channel (scale, shift) instead of a
+    normalized tensor: ``scale = gamma / sqrt(var + eps)``,
+    ``shift = beta - mean * scale``. Same parameter/stat tree names as
+    flax.linen.BatchNorm ({scale, bias} / {mean, var}); same biased-variance
+    running-average convention (torch tracks unbiased — documented deviation,
+    tests/test_torch_parity.py)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x_raw, *, train: bool):
+        c = x_raw.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (c,))
+        beta = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            xf = x_raw.astype(jnp.float32)
+            axes = tuple(range(x_raw.ndim - 1))
+            mu = jnp.mean(xf, axes)
+            var = jnp.maximum(jnp.mean(jnp.square(xf), axes) - jnp.square(mu),
+                              0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mu
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        else:
+            mu, var = ra_mean.value, ra_var.value
+        scale = gamma.astype(jnp.float32) * jax.lax.rsqrt(var + self.epsilon)
+        shift = beta.astype(jnp.float32) - mu * scale
+        return scale, shift
+
+
 class BasicBlock(nn.Module):
+    """torch BasicBlock (model_v1/model/resnet18.py:10-39) with folded BN:
+
+        y1 = conv1(x); y2 = conv2(relu(bn1 . y1));  # bn1 fused as prologue
+        out = relu(bn2 . y2 + (proj_bn . proj(x) | x))  # one elementwise pass
+    """
+
     features: int
     strides: Tuple[int, int] = (1, 1)
     use_projection: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     bn_momentum: float = 0.9
+    conv_impl: str = "auto"  # auto | pallas | xla
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=self.bn_momentum,
-            epsilon=1e-5, dtype=jnp.float32, name=name)
-        residual = x
-        y = nn.Conv(self.features, (3, 3), strides=self.strides, padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=self.dtype, kernel_init=_CONV_INIT, name="conv1")(x)
-        y = bn("bn1")(y).astype(self.dtype)
-        y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
-                    use_bias=False, dtype=self.dtype, kernel_init=_CONV_INIT, name="conv2")(y)
-        y = bn("bn2")(y).astype(self.dtype)
+        dt = self.dtype
+        cin = x.shape[-1]
+        conv = (conv3x3_bn_relu if _use_pallas(self.conv_impl)
+                else conv3x3_bn_relu_reference)
+        bn = lambda name: FoldedBatchNorm(momentum=self.bn_momentum, name=name)
+
+        x = _conv_in(x.astype(dt))
+        k1 = _Conv3x3(self.features, cin, name="conv1")().astype(dt)
+        k2 = _Conv3x3(self.features, self.features, name="conv2")().astype(dt)
+
+        y1 = conv(x, k1, strides=self.strides)
+        s1, t1 = bn("bn1")(y1, train=train)
+        y2 = conv(y1, k2, s1, t1, strides=(1, 1), relu=True)
+        s2, t2 = bn("bn2")(y2, train=train)
+
         if self.use_projection:
-            residual = nn.Conv(self.features, (1, 1), strides=self.strides, padding="VALID",
-                               use_bias=False, dtype=self.dtype, kernel_init=_CONV_INIT,
-                               name="proj_conv")(x)
-            residual = bn("proj_bn")(residual).astype(self.dtype)
-        return nn.relu(y + residual)
+            kp = _Conv3x3(self.features, cin, ksize=1, name="proj_conv")()
+            p = jax.lax.conv_general_dilated(
+                x, kp.astype(dt), self.strides, "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            sp, tp = bn("proj_bn")(p, train=train)
+            residual = p.astype(jnp.float32) * sp + tp
+        else:
+            residual = x.astype(jnp.float32)
+
+        out = jnp.maximum(y2.astype(jnp.float32) * s2 + t2 + residual, 0.0)
+        return out.astype(dt)
 
 
 def _max_pool_3x3(x, strides: Tuple[int, int]):
@@ -76,6 +179,7 @@ class ResNet18Stem(nn.Module):
     widths: Optional[Sequence[int]] = None  # default: [D/4, D/2, D]
     stage_strides: Sequence[Tuple[int, int]] = ((2, 1), (2, 2), (2, 2))
     final_maxpool: bool = True
+    conv_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -83,6 +187,8 @@ class ResNet18Stem(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(c, (3, 3), strides=(2, 1), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, kernel_init=_CONV_INIT, name="conv1")(x)
+        # flax BN here: the normalize+ReLU fuses into the following maxpool's
+        # read, so the folded form buys nothing for the stem's first BN.
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn1")(x).astype(self.dtype)
         x = nn.relu(x)
@@ -94,8 +200,10 @@ class ResNet18Stem(nn.Module):
         for si, (w, strides) in enumerate(zip(widths, self.stage_strides)):
             needs_proj = strides != (1, 1) or in_width != w
             x = BasicBlock(w, strides, use_projection=needs_proj, dtype=self.dtype,
+                           conv_impl=self.conv_impl,
                            name=f"stage{si + 1}_block1")(x, train=train)
             x = BasicBlock(w, (1, 1), use_projection=False, dtype=self.dtype,
+                           conv_impl=self.conv_impl,
                            name=f"stage{si + 1}_block2")(x, train=train)
             in_width = w
 

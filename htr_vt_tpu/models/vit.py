@@ -73,10 +73,12 @@ class WindowAttention1D(nn.Module):
 
     Swin-style over the token sequence: partition N tokens into windows of
     ``window_size``; odd-indexed blocks cyclically shift by window_size//2
-    (model_window/model/HTR_VT.py:114-154, bias table :23-31,:44-47). N must be
-    a multiple of window_size (true for the fixed 128-token grid), so no key
-    padding masks are needed — the reference's pad-mask machinery exists only
-    because it probes dynamic shapes.
+    (model_window/model/HTR_VT.py:114-154, bias table :23-31,:44-47). When N
+    is not a multiple of the window (e.g. an --img-size whose width isn't a
+    multiple of 64 tokens), the sequence is right-padded to a multiple and
+    padded keys are masked out, matching the reference's key-padding-mask
+    handling of arbitrary N (model_window/model/HTR_VT.py:266-278); padding
+    is a static no-op for the standard 128-token grid.
     """
 
     num_heads: int
@@ -90,9 +92,14 @@ class WindowAttention1D(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         b, n, c = x.shape
         w = self.window_size
-        assert n % w == 0, f"tokens {n} not divisible by window {w}"
         head_dim = c // self.num_heads
         shift = w // 2 if self.shift else 0
+
+        n_pad = -(-n // w) * w
+        pad = n_pad - n
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        valid = jnp.arange(n_pad) < n  # key-padding mask (True = real token)
 
         # Learned relative position bias over [-w+1, w-1].
         table = self.param("rel_bias", nn.initializers.truncated_normal(0.02),
@@ -103,33 +110,40 @@ class WindowAttention1D(nn.Module):
 
         if shift:
             x = jnp.roll(x, -shift, axis=1)
+            valid = jnp.roll(valid, -shift)
 
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        kernel_init=_XAVIER, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def windows(t):  # [B, N, C] -> [B * N/w, H, w, hd]
-            t = t.reshape(b * n // w, w, c)
+        def windows(t):  # [B, Np, C] -> [B * Np/w, H, w, hd]
+            t = t.reshape(b * n_pad // w, w, c)
             return t.reshape(-1, w, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         mask = None
         if shift:
             # After a cyclic roll the last window mixes sequence head and tail;
             # Swin masks cross-boundary pairs so attention stays local.
-            win_id = jnp.arange(n) // w
-            last = win_id == (n // w - 1)
-            orig_seg = (jnp.arange(n) + shift) % n >= (n - shift)
+            win_id = jnp.arange(n_pad) // w
+            last = win_id == (n_pad // w - 1)
+            orig_seg = (jnp.arange(n_pad) + shift) % n_pad >= (n_pad - shift)
             seg = jnp.where(last, orig_seg.astype(jnp.int32), 0)
-            seg = seg.reshape(n // w, w)
-            pair_ok = seg[:, :, None] == seg[:, None, :]  # [N/w, w, w]
-            mask = jnp.tile(pair_ok[:, None], (b, 1, 1, 1))  # [B*N/w, 1, w, w]
+            seg = seg.reshape(n_pad // w, w)
+            pair_ok = seg[:, :, None] == seg[:, None, :]  # [Np/w, w, w]
+            mask = pair_ok
+        if pad:
+            key_ok = valid.reshape(n_pad // w, w)[:, None, :]  # [Np/w, 1, w]
+            mask = key_ok if mask is None else (mask & key_ok)
+        if mask is not None:
+            mask = jnp.tile(mask[:, None], (b, 1, 1, 1))  # [B*Np/w, 1, w, w]
 
         out = multi_head_attention(windows(q), windows(k), windows(v),
                                    scale=head_dim**-0.5, bias=bias, mask=mask,
                                    out_dtype=self.dtype)
-        out = out.reshape(b, n, c)
+        out = out.reshape(b, n_pad, c)
         if shift:
             out = jnp.roll(out, shift, axis=1)
+        out = out[:, :n]
         out = nn.Dense(c, dtype=self.dtype, kernel_init=_XAVIER, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out

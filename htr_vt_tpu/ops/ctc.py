@@ -127,31 +127,14 @@ def ctc_loss_mean(logits, labels, label_lengths, logit_lengths=None, blank: int 
     return ctc_loss(logits, labels, label_lengths, logit_lengths, blank).mean()
 
 
-# Optional mesh context for multi-chip Pallas CTC: the trainer announces the
-# mesh once (before tracing) and ctc_loss_auto wraps the kernels in shard_map
-# over the data axis. Trace-time static state, like the backend check.
-_CTC_MESH = {"mesh": None, "data_axis": "data"}
-
-
-def set_ctc_mesh(mesh, data_axis: str = "data") -> None:
-    """Announce the device mesh so the Pallas CTC shards over it (call before
-    jitting the step; pass None to clear)."""
-    _CTC_MESH["mesh"] = mesh
-    _CTC_MESH["data_axis"] = data_axis
-
-
 def ctc_loss_auto(logits, labels, label_lengths, blank: int = 0) -> jax.Array:
     """Backend dispatch: the Pallas VMEM-resident forward-backward on TPU
-    (ops/ctc_pallas.py) — per-shard via shard_map when a multi-device mesh
-    was announced with set_ctc_mesh — and the scan recursion elsewhere.
-    Full-frame logits (the HTR pipeline always emits T frames per sample)."""
+    (ops/ctc_pallas.py) and the scan recursion elsewhere. The Pallas kernels
+    carry an SPMD partitioning rule (custom_partitioning over the batch axis,
+    derived from the operands' sharding), so the same call is the multi-chip
+    program — no mesh announcement needed. Full-frame logits (the HTR
+    pipeline always emits T frames per sample)."""
     if jax.default_backend() == "tpu":
-        if jax.device_count() == 1:
-            from htr_vt_tpu.ops.ctc_pallas import ctc_loss_pallas
-            return ctc_loss_pallas(logits, labels, label_lengths, blank)
-        mesh = _CTC_MESH["mesh"]
-        if mesh is not None:
-            from htr_vt_tpu.ops.ctc_pallas import ctc_loss_pallas_sharded
-            return ctc_loss_pallas_sharded(logits, labels, label_lengths,
-                                           mesh, _CTC_MESH["data_axis"], blank)
+        from htr_vt_tpu.ops.ctc_pallas import ctc_loss_pallas
+        return ctc_loss_pallas(logits, labels, label_lengths, blank)
     return ctc_loss(logits, labels, label_lengths, blank=blank)

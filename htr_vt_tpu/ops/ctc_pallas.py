@@ -137,9 +137,49 @@ def _pick_tile(b: int) -> int:
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _ctc_neglogp(lp, valid_f, noskip_f, start2_f, end_f, tile_b):
-    loss, _ = _ctc_fwd_impl(lp, valid_f, noskip_f, start2_f, end_f, tile_b)
+@functools.lru_cache(maxsize=None)
+def _partitioned_recursion(kernel):
+    """Wrap a recursion kernel in jax.experimental.custom_partitioning so
+    GSPMD/Shardy shards it over the batch axis *derived from the operands'
+    sharding* — no mesh side channel. Each sample's recursion is independent,
+    so the per-shard lowering is just the local pallas_call; the time and
+    state axes are declared need-replication.
+
+    This is the SPMD partitioning rule the round-1 ``set_ctc_mesh`` global
+    stood in for (multi-chip eval in cli/test*.py now takes the fast kernel
+    automatically)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    def impl(lp, m1, m2, m3):
+        return _run_recursion(kernel, lp, (m1, m2, m3), _pick_tile(lp.shape[0]))
+
+    fn = custom_partitioning(impl)
+
+    def _batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_batch_axis(arg_shapes), None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        batch = _batch_axis(arg_shapes)
+        args = (NamedSharding(mesh, P(batch, None, None)),) + \
+            (NamedSharding(mesh, P(batch, None)),) * 3
+        out = NamedSharding(mesh, P(batch, None, None))
+        return mesh, impl, out, args
+
+    fn.def_partition(partition=partition, infer_sharding_from_operands=infer,
+                     sharding_rule="b t s, b s, b s, b s -> b t s",
+                     need_replication_factors=("t", "s"))
+    return fn
+
+
+@jax.custom_vjp
+def _ctc_neglogp(lp, valid_f, noskip_f, start2_f, end_f):
+    loss, _ = _ctc_fwd_impl(lp, valid_f, noskip_f, start2_f, end_f)
     return loss
 
 
@@ -149,20 +189,20 @@ def _logsumexp_masked(a_last, end_f):
     return m + jnp.log(jnp.sum(jnp.exp(masked - m[:, None]), axis=1))
 
 
-def _ctc_fwd_impl(lp, valid_f, noskip_f, start2_f, end_f, tile_b):
-    alpha = _run_recursion(_alpha_kernel, lp, (noskip_f, valid_f, start2_f), tile_b)
+def _ctc_fwd_impl(lp, valid_f, noskip_f, start2_f, end_f):
+    alpha = _partitioned_recursion(_alpha_kernel)(lp, noskip_f, valid_f, start2_f)
     total = _logsumexp_masked(alpha[:, -1, :], end_f)
     return -total, (alpha, total)
 
 
-def _ctc_fwd(lp, valid_f, noskip_f, start2_f, end_f, tile_b):
-    loss, (alpha, total) = _ctc_fwd_impl(lp, valid_f, noskip_f, start2_f, end_f, tile_b)
+def _ctc_fwd(lp, valid_f, noskip_f, start2_f, end_f):
+    loss, (alpha, total) = _ctc_fwd_impl(lp, valid_f, noskip_f, start2_f, end_f)
     return loss, (lp, valid_f, noskip_f, end_f, alpha, total)
 
 
-def _ctc_bwd(tile_b, residuals, g):
+def _ctc_bwd(residuals, g):
     lp, valid_f, noskip_f, end_f, alpha, total = residuals
-    beta = _run_recursion(_beta_kernel, lp, (noskip_f, valid_f, end_f), tile_b)
+    beta = _partitioned_recursion(_beta_kernel)(lp, noskip_f, valid_f, end_f)
     # beta excludes the emission at its own frame, so the state posterior is
     # gamma_t[s] = alpha_t[s] + beta_t[s] - total and d(-total)/d lp[t,s]
     # = -exp(gamma); one fused elementwise op over [B, T, S].
@@ -174,31 +214,6 @@ def _ctc_bwd(tile_b, residuals, g):
 
 
 _ctc_neglogp.defvjp(_ctc_fwd, _ctc_bwd)
-
-
-def ctc_loss_pallas_sharded(logits: jax.Array, labels: jax.Array,
-                            label_lengths: jax.Array, mesh, data_axis: str,
-                            blank: int = 0) -> jax.Array:
-    """Data-parallel Pallas CTC: each device runs the kernels on its batch
-    shard via shard_map (the loss is independent per sample, so no
-    collectives are needed). Validated in interpret mode on the CPU mesh;
-    on a multi-chip TPU mesh each shard compiles the same Mosaic kernels."""
-    from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map as _shard_map  # jax >= 0.6 style
-        shard_map = functools.partial(_shard_map, mesh=mesh)
-    except ImportError:
-        from jax.experimental.shard_map import shard_map as _shard_map
-        shard_map = functools.partial(_shard_map, mesh=mesh)
-
-    fn = functools.partial(ctc_loss_pallas, blank=blank)
-    # check_vma=False: pallas_call outputs don't carry varying-mesh-axis
-    # metadata; the per-shard computation is trivially batch-varying.
-    wrapped = shard_map(
-        fn,
-        in_specs=(P(data_axis, None, None), P(data_axis, None), P(data_axis)),
-        out_specs=P(data_axis), check_vma=False)
-    return wrapped(logits, labels, label_lengths)
 
 
 def ctc_loss_pallas(logits: jax.Array, labels: jax.Array,
@@ -220,8 +235,7 @@ def ctc_loss_pallas(logits: jax.Array, labels: jax.Array,
     lp = jnp.einsum("btc,bsc->bts", logp, onehot,
                     precision=jax.lax.Precision.HIGHEST)
     f32 = lambda m: m.astype(jnp.float32)
-    loss = _ctc_neglogp(lp, f32(valid), f32(noskip), f32(start2), f32(endm),
-                        _pick_tile(b))
+    loss = _ctc_neglogp(lp, f32(valid), f32(noskip), f32(start2), f32(endm))
 
     if zero_infinity:
         feasible = loss < 1e29

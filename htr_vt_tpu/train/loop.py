@@ -78,10 +78,6 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
     # ---- mesh + state ----
     mesh = make_mesh(cfg.parallel)
     bsh = batch_sharding(mesh, cfg.parallel)
-    if jax.default_backend() == "tpu" and jax.device_count() > 1:
-        # Multi-chip: run the Pallas CTC per-shard via shard_map.
-        from htr_vt_tpu.ops.ctc import set_ctc_mesh
-        set_ctc_mesh(mesh, cfg.parallel.data_axis)
     sample = np.zeros((cfg.data.train_bs, *cfg.model.img_size, 1), np.float32)
     state = create_train_state(cfg, model, jax.random.PRNGKey(cfg.train.seed),
                                sample, sgm_sample=sgm_sample)

@@ -127,11 +127,14 @@ def test_ctc_empty_label_matches_torch():
 
 
 def test_ctc_pallas_sharded_interpret_matches_scan():
-    """shard_map-wrapped Pallas CTC (interpret mode) over an 8-device CPU
-    mesh must match the scan implementation — validates the multi-chip
-    dispatch plumbing without TPU hardware."""
+    """Pallas CTC (interpret mode) jitted over batch-sharded inputs on the
+    8-device CPU mesh must match the scan implementation — validates the
+    custom_partitioning SPMD rule (no mesh side channel) without TPU
+    hardware. The kernels shard over the batch axis purely from the
+    operands' NamedSharding."""
     import jax.experimental.pallas as pl
     import htr_vt_tpu.ops.ctc_pallas as cp
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from htr_vt_tpu.parallel.mesh import make_mesh
 
     orig = pl.pallas_call
@@ -141,17 +144,19 @@ def test_ctc_pallas_sharded_interpret_matches_scan():
         b, t, c, lmax = 16, 20, 9, 6
         logits, labels, _, lengths = _random_case(rng, b, t, c, 2, lmax)
         mesh = make_mesh()
-        got = cp.ctc_loss_pallas_sharded(
-            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(lengths),
-            mesh, "data")
+        sh = lambda *spec: NamedSharding(mesh, P(*spec))
+        sl = jax.device_put(jnp.asarray(logits), sh("data", None, None))
+        sy = jax.device_put(jnp.asarray(labels), sh("data", None))
+        sn = jax.device_put(jnp.asarray(lengths), sh("data"))
+
+        got = jax.jit(cp.ctc_loss_pallas)(sl, sy, sn)
+        assert got.sharding.spec == P("data")  # stayed batch-sharded
         ref = ctc_loss(jnp.asarray(logits), jnp.asarray(labels),
                        jnp.asarray(lengths))
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
         # gradients flow through the sharded path too
-        g = jax.grad(lambda l: cp.ctc_loss_pallas_sharded(
-            l, jnp.asarray(labels), jnp.asarray(lengths), mesh, "data").mean())(
-            jnp.asarray(logits))
+        g = jax.jit(jax.grad(lambda l: cp.ctc_loss_pallas(l, sy, sn).mean()))(sl)
         gref = jax.grad(lambda l: ctc_loss(l, jnp.asarray(labels),
                                            jnp.asarray(lengths)).mean())(
             jnp.asarray(logits))

@@ -105,3 +105,53 @@ def test_wide_line_config():
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 256, 1))
     y = model.apply(variables, x, train=False)
     assert y.shape == (2, 64, cfg.nb_cls)
+
+
+def test_window_attention_pads_non_multiple_n():
+    """N not divisible by the window is right-padded with masked keys
+    (reference model_window/model/HTR_VT.py:266-278): outputs of windows that
+    contain only real tokens must be identical to running those tokens alone,
+    and the padded tail window must behave as if the short tail were the
+    whole input."""
+    from htr_vt_tpu.models.vit import WindowAttention1D
+
+    attn = WindowAttention1D(num_heads=2, window_size=16, shift=False,
+                             dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x40 = jnp.asarray(rng.standard_normal((2, 40, 32)), jnp.float32)
+    variables = attn.init(jax.random.PRNGKey(0), x40)
+    y40 = attn.apply(variables, x40)
+    assert y40.shape == (2, 40, 32) and np.all(np.isfinite(np.asarray(y40)))
+
+    # windows 0-1 (tokens 0..31) see no padding: must match the 32-token run
+    y32 = attn.apply(variables, x40[:, :32])
+    np.testing.assert_allclose(np.asarray(y40[:, :32]), np.asarray(y32),
+                               rtol=1e-5, atol=1e-6)
+    # tail window (tokens 32..39) is pad-masked: must match the 8-token run
+    y8 = attn.apply(variables, x40[:, 32:])
+    np.testing.assert_allclose(np.asarray(y40[:, 32:]), np.asarray(y8),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_window_shifted_handles_non_multiple_n():
+    from htr_vt_tpu.models.vit import WindowAttention1D
+
+    attn = WindowAttention1D(num_heads=2, window_size=16, shift=True,
+                             dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 40, 32)), jnp.float32)
+    variables = attn.init(jax.random.PRNGKey(0), x)
+    y = attn.apply(variables, x)
+    assert y.shape == (2, 40, 32) and np.all(np.isfinite(np.asarray(y)))
+
+
+def test_window_encoder_non_multiple_token_grid():
+    """A token count not divisible by the window no longer asserts at trace
+    time (32 tokens, window 10): the encoder pads + masks internally."""
+    cfg = tiny_cfg(encoder="window", depth=2, window_size=10,
+                   num_window_blocks=2, masking=MaskConfig(mode="none"))
+    model, variables, x = init_model(cfg)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, cfg.num_tokens, cfg.nb_cls)
+    assert cfg.num_tokens % 10 != 0
+    assert np.all(np.isfinite(np.asarray(y)))
