@@ -1,0 +1,69 @@
+"""Inference throughput: eval forward + on-device greedy CTC decode on the
+flagship model, one chip. Prints one JSON line (same shape as bench.py).
+
+The 4090 baseline estimate mirrors bench.py's: ~38 GFLOP/image forward at a
+realistic 45-55 TF/s sustained => ~1,300 img/s; we use 1,300.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_INFER_IMGS_PER_SEC = 1300.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/htrvt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from htr_vt_tpu.config import ExperimentConfig, ModelConfig, OptimConfig
+    from htr_vt_tpu.models.htr_vt import HTRVT
+    from htr_vt_tpu.ops.decode import greedy_decode
+    from htr_vt_tpu.train.state import create_train_state
+
+    cfg = ExperimentConfig(model=ModelConfig(nb_cls=80), optim=OptimConfig())
+    batch_size = 128
+    model = HTRVT(cfg.model)
+    rng = np.random.default_rng(0)
+    sample = np.zeros((batch_size, 64, 512, 1), np.float32)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+
+    image = jnp.asarray(rng.random((batch_size, 64, 512, 1), dtype=np.float32))
+
+    @jax.jit
+    def infer(params, batch_stats, image):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             image, train=False)
+        return greedy_decode(logits)
+
+    out = infer(state.ema_params, state.ema_batch_stats, image)
+    _ = np.asarray(jax.tree.leaves(out)[0])  # readback sync (axon gotcha)
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(state.ema_params, state.ema_batch_stats, image)
+    _ = np.asarray(jax.tree.leaves(out)[0])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = iters * batch_size / dt
+    flops_per_image = 38e9
+    print(json.dumps({
+        "metric": "infer_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 1),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / REFERENCE_INFER_IMGS_PER_SEC, 2),
+        "ms_per_batch": round(dt / iters * 1e3, 1),
+        "batch_size": batch_size,
+        "mfu": round(imgs_per_sec * flops_per_image / 197e12, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
