@@ -42,9 +42,11 @@ def main() -> None:
     from htr_vt_tpu.train.state import create_train_state
     from htr_vt_tpu.train.step import jit_train_step
 
+    import os
     cfg = ExperimentConfig(
         model=ModelConfig(nb_cls=80, masking=MaskConfig(mode="span", ratio=0.4,
-                                                        max_span_length=8)),
+                                                        max_span_length=8),
+                          conv_impl=os.environ.get("HTRVT_CONV_IMPL", "auto")),
         optim=OptimConfig(),
     )
     batch_size = 128

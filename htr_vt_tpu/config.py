@@ -97,6 +97,8 @@ class ModelConfig:
     svtr_preset: str = "tiny"
     # Computation dtype for matmuls ("bfloat16" for TPU speed, "float32" for parity tests).
     compute_dtype: str = "bfloat16"
+    # Stem conv implementation: auto | pallas | xla (models/stem.py:_use_pallas).
+    conv_impl: str = "auto"
     masking: MaskConfig = field(default_factory=MaskConfig)
     sgm: SGMConfig = field(default_factory=SGMConfig)
 

@@ -21,9 +21,16 @@ prologue (torch pads the normalized tensor with zeros). ``scale``/``shift``
 are the folded BN terms: ``scale = gamma / sqrt(var + eps)``,
 ``shift = beta - mean * scale``.
 
-The backward is delegated to ``jax.vjp`` of the equivalent XLA composition
-(dgrad/wgrad convs already run at 65-75% MFU there), so gradients are
-bit-identical to the non-Pallas path.
+The backward of the stride-1 path is Pallas too (``_dgrad_kernel`` /
+``_wgrad_kernel``): dgrad is the same tap-dot structure over the rotated
+kernel with the prologue's backward (ReLU mask x scale, plus the dscale /
+dshift reductions) fused as an epilogue, and wgrad applies the prologue to
+the saved RAW input inside the kernel. Nothing in the fwd+bwd chain of a
+stride-1 conv touches an XLA convolution, which removes the
+Pallas<->XLA layout copies (XLA lays conv operands out batch-minor
+{0,3,2,1}; Pallas requires row-major {3,2,1,0}) that previously ate the
+kernel's standalone gain, and no full-tensor normalize pass ever
+materializes in either direction.
 
 SPMD: wrapped in ``custom_partitioning`` over the batch axis (same pattern
 as ops/ctc_pallas.py) — under a data-sharded mesh each device runs the
@@ -192,6 +199,289 @@ def _partitioned_conv(strides, relu, prologue, interpret):
     return fn
 
 
+def _pick_cout_tile(cin: int, cout: int, budget: int = 3 * 2**20) -> int:
+    """Largest channel tile (multiple of 128 when possible) whose 3x3 weight
+    slab fits the budget — mirrors the fwd kernel's rule."""
+    for cand in sorted({cout} | {k * 128 for k in range(1, cout // 128 + 1)
+                                 if cout % (k * 128) == 0}, reverse=True):
+        if 9 * cin * cand * 2 <= budget or cand == 128 or cand == cout:
+            return cand
+    return cout
+
+
+def _pick_batch_tile(b: int, per_sample_bytes: int,
+                     blk: int = 1_700_000) -> int:
+    tb = 1
+    while b % (tb * 2) == 0 and tb * 2 * per_sample_bytes <= blk:
+        tb *= 2
+    return tb
+
+
+def _dgrad_kernel(g_ref, k_ref, x_ref, scale_ref, shift_ref,
+                  dx_ref, dscale_ref, dshift_ref, *,
+                  relu: bool, prologue: bool, two: int):
+    """dx tile of ``conv3x3(relu(x*scale+shift), k)`` plus the prologue's
+    backward, one (cin-tile, batch-tile) grid step.
+
+    g_ref: [TB, H, W, Cout] upstream cotangent; k_ref: [3, 3, Cout, TCi]
+    ROTATED kernel (krot[dh,dw,co,ci] = k[2-dh,2-dw,ci,co]); x_ref:
+    [TB, H, W, TCi] RAW saved input; dx_ref same shape;
+    dscale/dshift_ref: [1, TCi] f32 accumulated across the batch grid axis
+    (innermost), initialized at batch step 0.
+    """
+    tb, h, w, _ = g_ref.shape
+    tci = dx_ref.shape[3]
+    bi = pl.program_id(1)
+
+    gp = jnp.pad(g_ref[:], ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    ds_acc = jnp.zeros((1, tci), jnp.float32)
+    dt_acc = jnp.zeros((1, tci), jnp.float32)
+    for wt in range(w // two):
+        w0 = wt * two
+        acc = jnp.zeros((tb * h * two, tci), jnp.float32)
+        for dh in range(3):
+            for dw in range(3):
+                patch = jax.lax.slice(
+                    gp, (0, dh, w0 + dw, 0),
+                    (tb, dh + h, w0 + dw + two, gp.shape[3]))
+                acc = acc + jax.lax.dot_general(
+                    patch.reshape(tb * h * two, gp.shape[3]), k_ref[dh, dw],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        da = acc.reshape(tb, h, two, tci)
+        if prologue:
+            xt = x_ref[:, :, w0:w0 + two, :].astype(jnp.float32)
+            if relu:
+                a = xt * scale_ref[0] + shift_ref[0]
+                da = jnp.where(a > 0.0, da, 0.0)
+            ds_acc = ds_acc + jnp.sum(da * xt, (0, 1, 2))[None, :]
+            dt_acc = dt_acc + jnp.sum(da, (0, 1, 2))[None, :]
+            dxv = da * scale_ref[0]
+        else:
+            dxv = da
+        dx_ref[:, :, w0:w0 + two, :] = dxv.astype(dx_ref.dtype)
+
+    @pl.when(bi == 0)
+    def _init():
+        dscale_ref[:] = ds_acc
+        dshift_ref[:] = dt_acc
+
+    @pl.when(bi != 0)
+    def _accum():
+        dscale_ref[:] = dscale_ref[:] + ds_acc
+        dshift_ref[:] = dshift_ref[:] + dt_acc
+
+
+def _wgrad_kernel(x_ref, g_ref, scale_ref, shift_ref, dk_ref, *,
+                  relu: bool, prologue: bool):
+    """dk tile: per-tap ``patchT @ g`` dots with the prologue applied to the
+    RAW saved input in VMEM (no xn ever materializes in HBM).
+
+    x_ref: [TB, H, W, Cin]; g_ref: [TB, H, W, TCo];
+    dk_ref: [3, 3, Cin, TCo] f32, accumulated across the batch grid axis.
+    """
+    tb, h, w, cin = x_ref.shape
+    tco = g_ref.shape[3]
+    bi = pl.program_id(1)
+
+    xv = x_ref[:]
+    if prologue:
+        a = xv.astype(jnp.float32) * scale_ref[0] + shift_ref[0]
+        if relu:
+            a = jnp.maximum(a, 0.0)
+        xv = a.astype(x_ref.dtype)
+    xp = jnp.pad(xv, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    gm = g_ref[:].reshape(tb * h * w, tco)
+
+    for dh in range(3):
+        for dw in range(3):
+            patch = jax.lax.slice(
+                xp, (0, dh, dw, 0), (tb, dh + h, dw + w, cin))
+            tap = jax.lax.dot_general(
+                patch.reshape(tb * h * w, cin), gm,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(bi == 0)
+            def _init(dh=dh, dw=dw, tap=tap):
+                dk_ref[dh, dw] = tap
+
+            @pl.when(bi != 0)
+            def _accum(dh=dh, dw=dw, tap=tap):
+                dk_ref[dh, dw] = dk_ref[dh, dw] + tap
+
+
+def _dgrad_local(g, krot, x, scale, shift, *, relu, prologue, interpret):
+    b, h, w, cout = g.shape
+    cin = krot.shape[3]
+    tci = _pick_cout_tile(cout, cin)
+    two = w
+    while two > 128 and two % 2 == 0:
+        two //= 2
+    per_sample = h * w * max(cout, tci) * 2  # largest of the g/x/dx blocks
+    tb = _pick_batch_tile(b, per_sample)
+
+    kern = functools.partial(_dgrad_kernel, relu=relu, prologue=prologue,
+                             two=two)
+    return pl.pallas_call(
+        kern,
+        grid=(cin // tci, b // tb),
+        in_specs=[
+            pl.BlockSpec((tb, h, w, cout), lambda ci, bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cout, tci), lambda ci, bi: (0, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, h, w, tci), lambda ci, bi: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tci), lambda ci, bi: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tci), lambda ci, bi: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tb, h, w, tci), lambda ci, bi: (bi, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tci), lambda ci, bi: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tci), lambda ci, bi: (0, ci),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, w, cin), x.dtype),
+            jax.ShapeDtypeStruct((1, cin), jnp.float32),
+            jax.ShapeDtypeStruct((1, cin), jnp.float32),
+        ),
+        interpret=interpret,
+    )(g, krot, x, scale, shift)
+
+
+def _wgrad_local(x, g, scale, shift, *, relu, prologue, interpret):
+    b, h, w, cin = x.shape
+    cout = g.shape[3]
+    tco = _pick_cout_tile(cin, cout, budget=2**20)  # dk slab is f32, resident
+    per_sample = h * w * max(cin, tco) * 2  # largest of the x/g blocks
+    tb = _pick_batch_tile(b, per_sample)
+
+    kern = functools.partial(_wgrad_kernel, relu=relu, prologue=prologue)
+    return pl.pallas_call(
+        kern,
+        grid=(cout // tco, b // tb),
+        in_specs=[
+            pl.BlockSpec((tb, h, w, cin), lambda co, bi: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, h, w, tco), lambda co, bi: (bi, 0, 0, co),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda co, bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cin), lambda co, bi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, 3, cin, tco), lambda co, bi: (0, 0, 0, co),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, 3, cin, cout), jnp.float32),
+        interpret=interpret,
+    )(x, g, scale, shift)
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_dgrad(relu, prologue, interpret):
+    """Batch-axis SPMD rule: dx is batch-sharded like g/x; dscale/dshift are
+    cross-batch reductions, so the per-shard partials are psum'd over the
+    batch mesh axis inside the partition lowering."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    def impl(g, krot, x, scale, shift):
+        return _dgrad_local(g, krot, x, scale, shift, relu=relu,
+                            prologue=prologue, interpret=interpret)
+
+    fn = custom_partitioning(impl)
+
+    def _batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        batch = _batch_axis(arg_shapes)
+        return (NamedSharding(mesh, P(batch, None, None, None)),
+                NamedSharding(mesh, P(None, None)),
+                NamedSharding(mesh, P(None, None)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        batch = _batch_axis(arg_shapes)
+
+        def lower(g, krot, x, scale, shift):
+            dx, ds, dt = impl(g, krot, x, scale, shift)
+            if batch is not None:
+                ds = jax.lax.psum(ds, batch)
+                dt = jax.lax.psum(dt, batch)
+            return dx, ds, dt
+
+        args = (NamedSharding(mesh, P(batch, None, None, None)),
+                NamedSharding(mesh, P(None, None, None, None)),
+                NamedSharding(mesh, P(batch, None, None, None)),
+                NamedSharding(mesh, P(None, None)),
+                NamedSharding(mesh, P(None, None)))
+        outs = (NamedSharding(mesh, P(batch, None, None, None)),
+                NamedSharding(mesh, P(None, None)),
+                NamedSharding(mesh, P(None, None)))
+        return mesh, lower, outs, args
+
+    fn.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule="b h w o, x y o i, b h w i, u i, v i"
+                      " -> b h w i, c i, d i",
+        need_replication_factors=("h", "w", "o", "x", "y", "i", "u", "v",
+                                  "c", "d"))
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_wgrad(relu, prologue, interpret):
+    """Batch-axis SPMD rule: dk is a cross-batch contraction — per-shard
+    partials are psum'd over the batch mesh axis."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    def impl(x, g, scale, shift):
+        return _wgrad_local(x, g, scale, shift, relu=relu, prologue=prologue,
+                            interpret=interpret)
+
+    fn = custom_partitioning(impl)
+
+    def _batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(None, None, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        batch = _batch_axis(arg_shapes)
+
+        def lower(x, g, scale, shift):
+            dk = impl(x, g, scale, shift)
+            if batch is not None:
+                dk = jax.lax.psum(dk, batch)
+            return dk
+
+        args = (NamedSharding(mesh, P(batch, None, None, None)),
+                NamedSharding(mesh, P(batch, None, None, None)),
+                NamedSharding(mesh, P(None, None)),
+                NamedSharding(mesh, P(None, None)))
+        out = NamedSharding(mesh, P(None, None, None, None))
+        return mesh, lower, out, args
+
+    fn.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule="b h w i, b h w o, u i, v i -> x y i o",
+        need_replication_factors=("h", "w", "i", "o", "u", "v", "x", "y"))
+    return fn
+
+
 def _xla_reference(x, kernel, scale, shift, *, strides, relu, prologue):
     """The exact XLA composition the kernel replaces (also the VJP source)."""
     if prologue:
@@ -219,10 +509,29 @@ def _fused_conv_fwd(x, kernel, scale, shift, strides, relu, prologue,
 
 
 def _fused_conv_bwd(strides, relu, prologue, interpret, res, g):
-    """Manual backward: jax.linear_transpose builds ONLY the transposed convs
-    (dgrad/wgrad — 65-75% MFU in XLA) without re-evaluating the forward conv
-    (jax.vjp of the composition would re-run it: measured -18% end-to-end).
-    The prologue backward is one fused elementwise pass + two reductions."""
+    """Backward. Stride-1 (the only Pallas forward path on hardware): Pallas
+    dgrad/wgrad kernels with the prologue backward fused in — no XLA conv
+    touches the saved activations, so no Pallas<->XLA layout copies. Strided
+    (reachable in interpret mode only): the XLA linear_transpose fallback."""
+    x, kernel, scale, shift = res
+    if strides == (1, 1):
+        krot = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
+        dx, dscale, dshift = _partitioned_dgrad(relu, prologue, interpret)(
+            g, krot, x, scale, shift)
+        dk = _partitioned_wgrad(relu, prologue, interpret)(
+            x, g, scale, shift).astype(kernel.dtype)
+        if not prologue:
+            dscale = jnp.zeros_like(scale)
+            dshift = jnp.zeros_like(shift)
+        return dx, dk, dscale, dshift
+    return _xla_conv_bwd(strides, relu, prologue, res, g)
+
+
+def _xla_conv_bwd(strides, relu, prologue, res, g):
+    """jax.linear_transpose builds ONLY the transposed convs (dgrad/wgrad —
+    65-75% MFU in XLA) without re-evaluating the forward conv (jax.vjp of the
+    composition would re-run it: measured -18% end-to-end). The prologue
+    backward is one fused elementwise pass + two reductions."""
     x, kernel, scale, shift = res
 
     if prologue:
