@@ -46,14 +46,16 @@ def _conv_in(x):
     return jax.lax.optimization_barrier(x)
 
 
-def _use_pallas(impl: str) -> bool:
-    # "auto" currently resolves to XLA: the Pallas fused conv wins standalone
-    # (96-99% MFU at stage2/3 incl. the prologue, tools/bench_conv_fused.py)
-    # but in-model it loses what it gains to layout copies at Pallas<->XLA
-    # boundaries ({3,2,1,0} vs the batch-minor {0,3,2,1} XLA prefers for
-    # convs) and to stage1's 192-channel MXU-tiling ceiling (55% either way).
-    # Measured end-to-end: 404 img/s pallas vs ~500 img/s XLA. Opt in with
-    # conv_impl="pallas"; revisit when Mosaic lowers the im2col tap concat.
+def _use_pallas(impl: str, cin: int, cout: int) -> bool:
+    # "auto" resolves to XLA — the measured verdict (docs/PERF.md, r2): the
+    # Pallas fused conv trio (fwd + dgrad/wgrad, prologue/epilogue fused)
+    # runs stage2 at ~94% and stage3 at ~85% MFU in-model, but (a) stage1's
+    # 192 channels cap the per-tap dots at 75% K x 75% N tiling (~56%) where
+    # XLA's clean conv reaches 83-90%, and (b) each XLA<->Pallas boundary
+    # pays a layout copy (XLA lays conv operands batch-minor {0,3,2,1};
+    # Pallas requires row-major), so the end-to-end step is a wash at best:
+    # 469.6 img/s best-mixed-Pallas vs 470.4 all-XLA, 418 all-Pallas.
+    # conv_impl="pallas" keeps the kernels reachable (tested, SPMD-ruled).
     if impl == "auto":
         return False
     return impl == "pallas"
@@ -128,17 +130,20 @@ class BasicBlock(nn.Module):
     def __call__(self, x, *, train: bool = False):
         dt = self.dtype
         cin = x.shape[-1]
-        conv = (conv3x3_bn_relu if _use_pallas(self.conv_impl)
-                else conv3x3_bn_relu_reference)
+        def conv_fn(c_in, c_out):
+            return (conv3x3_bn_relu
+                    if _use_pallas(self.conv_impl, c_in, c_out)
+                    else conv3x3_bn_relu_reference)
         bn = lambda name: FoldedBatchNorm(momentum=self.bn_momentum, name=name)
 
         x = _conv_in(x.astype(dt))
         k1 = _Conv3x3(self.features, cin, name="conv1")().astype(dt)
         k2 = _Conv3x3(self.features, self.features, name="conv2")().astype(dt)
 
-        y1 = conv(x, k1, strides=self.strides)
+        y1 = conv_fn(cin, self.features)(x, k1, strides=self.strides)
         s1, t1 = bn("bn1")(y1, train=train)
-        y2 = conv(y1, k2, s1, t1, strides=(1, 1), relu=True)
+        y2 = conv_fn(self.features, self.features)(
+            y1, k2, s1, t1, strides=(1, 1), relu=True)
         s2, t2 = bn("bn2")(y2, train=train)
 
         if self.use_projection:

@@ -39,32 +39,31 @@ def main():
         s = jnp.asarray(rng.standard_normal(Ci), jnp.float32)
         h = jnp.asarray(rng.standard_normal(Ci), jnp.float32)
 
-        def loss_p(x, k, s, h):
-            return jnp.sum(conv3x3_bn_relu(x, k, s, h).astype(jnp.float32))
+        # RANDOM cotangent fed as a jit input — a constant-ones cotangent (as
+        # from grad-of-sum) lets XLA fold/simplify its dgrad and skews the
+        # comparison.
+        ct = jnp.asarray(rng.standard_normal((B, H, W, Co)), jnp.bfloat16)
 
-        def loss_x(x, k, s, h):
-            return jnp.sum(
-                conv3x3_bn_relu_reference(x, k, s, h).astype(jnp.float32))
-
-        def sum_grads(gfn):
-            def f(x, k, s, h):
-                gx, gk, gs, gh = gfn(x, k, s, h)
+        def vjp_sum(conv_fn):
+            def f(x, k, s, h, ct):
+                _, vjp = jax.vjp(lambda *a: conv_fn(*a), x, k, s, h)
+                gx, gk, gs, gh = vjp(ct)
                 return (jnp.sum(gx.astype(jnp.float32)) +
                         jnp.sum(gk.astype(jnp.float32)) + jnp.sum(gs) +
                         jnp.sum(gh))
             return jax.jit(f)
 
-        pallas_fn = sum_grads(jax.grad(loss_p, argnums=(0, 1, 2, 3)))
-        xla_fn = sum_grads(jax.grad(loss_x, argnums=(0, 1, 2, 3)))
-        got = float(pallas_fn(x, k, s, h))
-        want = float(xla_fn(x, k, s, h))
+        pallas_fn = vjp_sum(conv3x3_bn_relu)
+        xla_fn = vjp_sum(conv3x3_bn_relu_reference)
+        got = float(pallas_fn(x, k, s, h, ct))
+        want = float(xla_fn(x, k, s, h, ct))
         rel = abs(got - want) / (abs(want) + 1e-9)
         # bwd = dgrad + wgrad, each the conv's FLOPs
         flops = 2 * 2 * B * H * W * Ci * Co * 9
         print(f"{name:16s} grad-checksum rel diff {rel:.2e} "
               f"({flops/1e12:.2f} TFLOP bwd)", flush=True)
         fns.append((name, pallas_fn, xla_fn, flops))
-        args.append((x, k, s, h))
+        args.append((x, k, s, h, ct))
 
     trace_dir = "/tmp/htrvt_trace_convbwd"
     os.system(f"rm -rf {trace_dir}")

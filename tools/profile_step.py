@@ -32,7 +32,8 @@ def build(mode: str, bs: int):
 
     cfg = ExperimentConfig(
         model=ModelConfig(nb_cls=80, masking=MaskConfig(mode="span", ratio=0.4,
-                                                        max_span_length=8)),
+                                                        max_span_length=8),
+                          conv_impl=os.environ.get("HTRVT_CONV_IMPL", "auto")),
         optim=OptimConfig(),
     )
     model = HTRVT(cfg.model)
