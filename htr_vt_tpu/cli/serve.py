@@ -6,6 +6,16 @@ decode on device, optional beam + ARPA-LM rescoring on host. Emits JSONL
 
     python -m htr_vt_tpu.cli.serve IAM --checkpoint out/iam/best_CER \
         --images 'scans/*.png' --batch-size 64 [--arpa lm.arpa]
+
+Width buckets (--width-buckets 512,1024,2048): the reference hard-caps every
+line at W=512 (data/dataset.py:104-111), truncating very long lines. With
+buckets, each image is routed by its natural aspect-resized width to the
+smallest bucket that holds it and runs through ONE compiled program per
+bucket (static shapes stay static — no recompile storm), so long lines keep
+their full width. The shared parameters are shape-independent (convs, LN,
+arbitrary-N attention) and the sin-cos positional embedding extends
+analytically to the wider grid; lines wider than the largest bucket are
+capped there, generalizing the reference's 512 behavior.
 """
 
 from __future__ import annotations
@@ -39,6 +49,9 @@ def main() -> None:
     parser.add_argument("--beam-width", type=int, default=5)
     parser.add_argument("--lm-weight", type=float, default=1.0)
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--width-buckets", type=str, default=None,
+                        help="comma-separated widths (e.g. 512,1024,2048); "
+                             "default: the model's training width only")
     args = parser.parse_args()
     cfg = args_to_config(args)
 
@@ -61,26 +74,40 @@ def main() -> None:
     template = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
     ckpt = CheckpointManager(os.path.dirname(args.checkpoint.rstrip("/")) or ".")
     state, _ = ckpt.restore(args.checkpoint, template)
-    eval_fn = jit_eval_step(model, cfg)
 
     scorer = None
     if args.arpa:
         from htr_vt_tpu.decode.lm import NgramScorer
         scorer = NgramScorer(args.arpa)
 
-    h, w = cfg.model.img_size
-    sink = open(args.out, "w") if args.out else sys.stdout
-    t0 = time.perf_counter()
-    done = 0
-    for start in range(0, len(paths), bs):
-        chunk = paths[start:start + bs]
-        imgs = np.stack([load_line_image(p, w, h) for p in chunk])
+    h, base_w = cfg.model.img_size
+
+    # Route images to width buckets; one compiled eval program per bucket.
+    if args.width_buckets:
+        from htr_vt_tpu.data.image import assign_width_buckets, natural_line_width
+        req = [int(x) for x in args.width_buckets.split(",") if x.strip()]
+        widths = [natural_line_width(p, h) for p in paths]
+        buckets, owner = assign_width_buckets(widths, req)
+    else:
+        buckets, owner = [base_w], [0] * len(paths)
+
+    eval_fns = {}
+
+    def eval_for(width):
+        if width not in eval_fns:
+            cfg_b = dataclasses.replace(
+                cfg, model=dataclasses.replace(cfg.model, img_size=(h, width)))
+            eval_fns[width] = jit_eval_step(build_model(cfg_b.model), cfg_b)
+        return eval_fns[width]
+
+    def transcribe(chunk, width):
+        imgs = np.stack([load_line_image(p, width, h) for p in chunk])
         if len(chunk) < bs:  # pad to the compiled shape
-            imgs = np.concatenate([imgs, np.ones((bs - len(chunk), h, w, 1),
+            imgs = np.concatenate([imgs, np.ones((bs - len(chunk), h, width, 1),
                                                  np.float32)])
         batch = {"image": imgs, "labels": np.zeros((bs, 8), np.int32),
                  "label_lengths": np.zeros((bs,), np.int32)}
-        out = eval_fn(state.ema_params, state.ema_batch_stats, batch)
+        out = eval_for(width)(state.ema_params, state.ema_batch_stats, batch)
         texts = converter.decode_batch(np.asarray(out["pred_ids"])[:len(chunk)])
         if scorer is not None:
             from htr_vt_tpu.decode.beam import prefix_beam_search
@@ -95,9 +122,21 @@ def main() -> None:
                 rescored.append(rescore_candidates(cands, scorer,
                                                    args.lm_weight)[0][0])
             texts = rescored
-        for p, t in zip(chunk, texts):
-            sink.write(json.dumps({"image": p, "text": t}, ensure_ascii=False) + "\n")
-        done += len(chunk)
+        return texts
+
+    sink = open(args.out, "w") if args.out else sys.stdout
+    t0 = time.perf_counter()
+    results = {}
+    for bi, width in enumerate(buckets):
+        idxs = [i for i, o in enumerate(owner) if o == bi]
+        for start in range(0, len(idxs), bs):
+            sel = idxs[start:start + bs]
+            for i, t in zip(sel, transcribe([paths[i] for i in sel], width)):
+                results[i] = t
+    for i, p in enumerate(paths):  # input order, regardless of bucket
+        sink.write(json.dumps({"image": p, "text": results[i]},
+                              ensure_ascii=False) + "\n")
+    done = len(paths)
     dt = time.perf_counter() - t0
     print(f"# {done} images in {dt:.2f}s ({done / dt:.1f} img/s)", file=sys.stderr)
     if args.out:

@@ -40,6 +40,31 @@ def prepare_line_image(img: np.ndarray, max_w: int = 512, max_h: int = 64) -> np
     return data
 
 
+def natural_line_width(path: str, max_h: int = 64) -> int:
+    """Width the line would occupy after the aspect-preserving resize to
+    ``max_h``, UNCAPPED — used to assign images to serving width buckets
+    (cli/serve.py --width-buckets). Reads only the image header."""
+    with Image.open(path) as im:
+        w, h = im.size
+    return max(1, int(w * max_h / h))
+
+
+def assign_width_buckets(widths, buckets):
+    """Map each natural width to the smallest bucket >= it (the widest
+    bucket catches everything longer — those lines are capped, exactly the
+    reference's W=512 behavior generalized). Returns a bucket index list."""
+    bs = sorted(buckets)
+    out = []
+    for w in widths:
+        for bi, b in enumerate(bs):
+            if w <= b:
+                out.append(bi)
+                break
+        else:
+            out.append(len(bs) - 1)
+    return bs, out
+
+
 def to_uint8(img_float: np.ndarray) -> np.ndarray:
     """[H,W,1] float in [0,1] -> [H,W] uint8 (augmentation operates on uint8,
     like the reference collate's PIL round-trip, data/dataset.py:16-17)."""

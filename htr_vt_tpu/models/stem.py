@@ -162,9 +162,9 @@ class BasicBlock(nn.Module):
 
 def _max_pool_3x3(x, strides: Tuple[int, int]):
     # torch MaxPool2d(kernel_size=3, stride, padding=1). XLA's native
-    # select-and-scatter backward wins on TPU — the scatter-based custom VJP
-    # in ops/pool.py is exact but 2x slower end-to-end (measured; see its
-    # docstring), so the native op stays.
+    # select-and-scatter backward (first-match ties, same as torch) wins on
+    # TPU — a scatter-based custom VJP was measured at 2x slower end-to-end
+    # and removed (docs/PERF.md), so the native op stays.
     return nn.max_pool(x, window_shape=(3, 3), strides=strides,
                        padding=((1, 1), (1, 1)))
 

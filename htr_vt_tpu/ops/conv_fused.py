@@ -199,6 +199,16 @@ def _partitioned_conv(strides, relu, prologue, interpret):
     return fn
 
 
+def _vmem_headroom(interpret: bool) -> dict:
+    """Raise the kernel's scoped-VMEM cap (default 16 MB) — v5e has 128 MB;
+    the in-model stage3 dgrad sits at 16.12 MB with XLA's surrounding buffer
+    pressure and OOMs at the default."""
+    if interpret:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=64 * 2**20)}
+
+
 def _pick_cout_tile(cin: int, cout: int, budget: int = 3 * 2**20) -> int:
     """Largest channel tile (multiple of 128 when possible) whose 3x3 weight
     slab fits the budget — mirrors the fwd kernel's rule."""
@@ -353,6 +363,7 @@ def _dgrad_local(g, krot, x, scale, shift, *, relu, prologue, interpret):
             jax.ShapeDtypeStruct((1, cin), jnp.float32),
         ),
         interpret=interpret,
+        **_vmem_headroom(interpret),
     )(g, krot, x, scale, shift)
 
 
@@ -381,6 +392,7 @@ def _wgrad_local(x, g, scale, shift, *, relu, prologue, interpret):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, 3, cin, cout), jnp.float32),
         interpret=interpret,
+        **_vmem_headroom(interpret),
     )(x, g, scale, shift)
 
 

@@ -70,6 +70,35 @@ def test_cli_serve_jsonl(run_dir, tmp_path):
     assert all({"image", "text"} <= set(r) for r in records)
 
 
+def test_cli_serve_width_buckets(run_dir, tmp_path):
+    """--width-buckets routes images by natural width to per-bucket compiled
+    programs; output stays in input order and wide lines keep their width
+    (the positional embedding extends analytically past the training grid)."""
+    from htr_vt_tpu.data.synthetic import SyntheticLineDataset
+    ds = SyntheticLineDataset(4, seed=7)
+    widths = [200, 600, 900, 80]  # -> buckets 512 / 1024 / 1024 / 512
+    for i in range(4):
+        img = ds[i][0]
+        img = np.asarray(Image.fromarray(img).resize((widths[i], 64)))
+        Image.fromarray(img).save(str(tmp_path / f"w{i}.png"))
+    out_file = str(tmp_path / "bucketed.jsonl")
+    sys.argv = ["serve", "SYNTH", "--checkpoint", os.path.join(run_dir, "best_CER"),
+                "--images", str(tmp_path / "w*.png"), "--batch-size", "2",
+                "--width-buckets", "512,1024", "--out", out_file, *ARGS_COMMON]
+    from htr_vt_tpu.cli.serve import main
+    main()
+    records = [json.loads(l) for l in open(out_file)]
+    assert [os.path.basename(r["image"]) for r in records] == \
+        [f"w{i}.png" for i in range(4)]
+
+
+def test_width_bucket_assignment():
+    from htr_vt_tpu.data.image import assign_width_buckets
+    buckets, owner = assign_width_buckets([80, 512, 513, 2000], [1024, 512])
+    assert buckets == [512, 1024]
+    assert owner == [0, 0, 1, 1]  # over-wide lines land in the widest bucket
+
+
 def test_cli_test_with_lm(run_dir, tmp_path):
     from htr_vt_tpu.decode.lm_train import train_ngram_arpa
     arpa = str(tmp_path / "lm.arpa")
