@@ -46,7 +46,8 @@ def main() -> None:
     cfg = ExperimentConfig(
         model=ModelConfig(nb_cls=80, masking=MaskConfig(mode="span", ratio=0.4,
                                                         max_span_length=8),
-                          conv_impl=os.environ.get("HTRVT_CONV_IMPL", "auto")),
+                          conv_impl=os.environ.get("HTRVT_CONV_IMPL", "auto"),
+                          pool_impl=os.environ.get("HTRVT_POOL_IMPL", "auto")),
         optim=OptimConfig(),
     )
     batch_size = 128

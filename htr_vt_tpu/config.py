@@ -99,6 +99,8 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Stem conv implementation: auto | pallas | xla (models/stem.py:_use_pallas).
     conv_impl: str = "auto"
+    # Stem first-pool implementation: auto | pallas | xla (ops/pool_fused.py).
+    pool_impl: str = "auto"
     masking: MaskConfig = field(default_factory=MaskConfig)
     sgm: SGMConfig = field(default_factory=SGMConfig)
 

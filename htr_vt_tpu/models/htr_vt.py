@@ -56,7 +56,7 @@ class HTRVT(nn.Module):
                         name="stem")(x, train=train)
         else:
             x = ResNet18Stem(embed_dim=cfg.embed_dim, dtype=dtype,
-                             conv_impl=cfg.conv_impl,
+                             conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
                              name="stem")(x, train=train)
         b = x.shape[0]
         tokens = x.reshape(b, -1, cfg.embed_dim)  # [B, N, D]

@@ -185,6 +185,7 @@ class ResNet18Stem(nn.Module):
     stage_strides: Sequence[Tuple[int, int]] = ((2, 1), (2, 2), (2, 2))
     final_maxpool: bool = True
     conv_impl: str = "auto"
+    pool_impl: str = "auto"  # auto | pallas | xla (ops/pool_fused.py)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -192,12 +193,23 @@ class ResNet18Stem(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(c, (3, 3), strides=(2, 1), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, kernel_init=_CONV_INIT, name="conv1")(x)
-        # flax BN here: the normalize+ReLU fuses into the following maxpool's
-        # read, so the folded form buys nothing for the stem's first BN.
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=jnp.float32, name="bn1")(x).astype(self.dtype)
-        x = nn.relu(x)
-        x = _max_pool_3x3(x, (2, 1))
+        if self.pool_impl == "pallas":
+            # Fused BN-apply + ReLU + maxpool Pallas kernel: touches the
+            # model's largest activation once per direction and folds the
+            # select-and-scatter backward + BN reductions into one pass
+            # (ops/pool_fused.py). Same {scale,bias}/{mean,var} tree names.
+            from htr_vt_tpu.ops.pool_fused import max_pool_bn_relu
+            s1, t1 = FoldedBatchNorm(momentum=0.9, name="bn1")(x, train=train)
+            x = max_pool_bn_relu(x, s1, t1)
+        else:
+            # flax BN: the normalize+ReLU is a standalone bandwidth pass over
+            # the [B, H/2, W, C] conv1 output (it cannot fuse into its
+            # producer — train-BN needs the full-tensor stats first).
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name="bn1")(x).astype(self.dtype)
+            x = nn.relu(x)
+            x = _max_pool_3x3(x, (2, 1))
 
         widths = list(self.widths) if self.widths is not None else \
             [self.embed_dim // 4, self.embed_dim // 2, self.embed_dim]

@@ -33,7 +33,8 @@ def build(mode: str, bs: int):
     cfg = ExperimentConfig(
         model=ModelConfig(nb_cls=80, masking=MaskConfig(mode="span", ratio=0.4,
                                                         max_span_length=8),
-                          conv_impl=os.environ.get("HTRVT_CONV_IMPL", "auto")),
+                          conv_impl=os.environ.get("HTRVT_CONV_IMPL", "auto"),
+                          pool_impl=os.environ.get("HTRVT_POOL_IMPL", "auto")),
         optim=OptimConfig(),
     )
     model = HTRVT(cfg.model)
