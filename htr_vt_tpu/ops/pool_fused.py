@@ -70,65 +70,83 @@ def _pool_fwd_kernel(x_ref, scale_ref, shift_ref, y_ref):
 
 
 def _pool_bwd_kernel(g_ref, x_ref, scale_ref, shift_ref,
-                     dx_ref, dscale_ref, dshift_ref):
+                     dx_ref, dscale_ref, dshift_ref, *, chunk: int):
+    """W-chunked: the full-width formulation spills ~113 MB of vector
+    registers (measured); processing `chunk` windows at a time bounds the
+    live set. Windows partition cleanly across chunks (no window spans two),
+    and the two seam columns each chunk shares with its neighbour accumulate
+    by read-modify-write on the VMEM-resident dx block (zero-initialized)."""
     tb, h, w, c = x_ref.shape
     ho = g_ref.shape[1]
     bi = pl.program_id(0)
 
-    xf = x_ref[:].astype(jnp.float32)
-    a_pre = (xf * scale_ref[0] + shift_ref[0]).astype(x_ref.dtype)
-    a = jnp.maximum(a_pre, 0)
-    ap = _padded(a)
+    dx_ref[:] = jnp.zeros((tb, h, w, c), dx_ref.dtype)
+    ds_acc = jnp.zeros((1, c), jnp.float32)
+    dt_acc = jnp.zeros((1, c), jnp.float32)
 
-    m = _tap(ap, 0, 0, tb, ho, w, c)
-    for kh, kw in _TAPS[1:]:
-        m = jnp.maximum(m, _tap(ap, kh, kw, tb, ho, w, c))
+    for q0 in range(0, w, chunk):
+        q1 = min(q0 + chunk, w)  # windows wo in [q0, q1)
+        wl = q1 - q0
+        lo, hi = max(q0 - 1, 0), min(q1 + 1, w)  # input cols this chunk owns
+        lpad, rpad = int(q0 == 0), int(q1 == w)
 
-    g = g_ref[:]
-    zero = jnp.zeros_like(g)
-    claimed = jnp.zeros(g.shape, jnp.bool_)
-    # Scatter g to each window's FIRST max tap. Contributions land in the
-    # padded frame decomposed into even/odd rows: tap (kh, kw) of window
-    # (p, q) sits at padded row 2p + kh, col q + kw.
-    hp = h + 2
-    da_even = jnp.zeros((tb, hp // 2, w + 2, c), g.dtype)
-    da_odd = jnp.zeros((tb, hp // 2, w + 2, c), g.dtype)
-    for kh, kw in _TAPS:
-        eq = (_tap(ap, kh, kw, tb, ho, w, c) == m) & ~claimed
-        claimed = claimed | eq
-        contrib = jnp.where(eq, g, zero)
-        if kh == 1:
-            da_odd = jax.lax.dynamic_update_slice(
-                da_odd, jax.lax.dynamic_slice(
-                    da_odd, (0, 0, kw, 0), (tb, ho, w, c)) + contrib,
-                (0, 0, kw, 0))
-        else:
-            r0 = kh // 2  # kh=0 -> even rows 0..ho-1; kh=2 -> 1..ho
-            da_even = jax.lax.dynamic_update_slice(
-                da_even, jax.lax.dynamic_slice(
-                    da_even, (0, r0, kw, 0), (tb, ho, w, c)) + contrib,
-                (0, r0, kw, 0))
-    # Reassemble interior rows/cols: interleave even/odd, drop the padding.
-    da_pad = jnp.stack([da_even, da_odd], axis=2).reshape(tb, hp, w + 2, c)
-    da = jax.lax.slice(da_pad, (0, 1, 1, 0), (tb, 1 + h, 1 + w, c))
+        xs = x_ref[:, :, lo:hi, :].astype(jnp.float32)
+        a_pre = xs * scale_ref[0] + shift_ref[0]
+        a = jnp.maximum(a_pre.astype(x_ref.dtype), 0)
+        # Slab col j == padded col q0 + j; -inf only at the true borders.
+        neg = jnp.asarray(-jnp.inf, a.dtype)
+        slab = jnp.pad(a, ((0, 0), (1, 1), (lpad, rpad), (0, 0)),
+                       constant_values=neg)
 
-    # ReLU backward with jnp.maximum's half-gradient at exact-zero ties.
-    daf = da.astype(jnp.float32)
-    daf = jnp.where(a_pre > 0, daf,
-                    jnp.where(a_pre < 0, 0.0, 0.5 * daf))
-    dx_ref[:] = (daf * scale_ref[0]).astype(dx_ref.dtype)
-    ds = jnp.sum(daf * xf, (0, 1, 2))[None, :]
-    dt = jnp.sum(daf, (0, 1, 2))[None, :]
+        m = _tap(slab, 0, 0, tb, ho, wl, c)
+        for kh, kw in _TAPS[1:]:
+            m = jnp.maximum(m, _tap(slab, kh, kw, tb, ho, wl, c))
+
+        g = g_ref[:, :, q0:q1, :]
+        zero = jnp.zeros_like(g)
+        claimed = jnp.zeros(g.shape, jnp.bool_)
+        half = (h + 2) // 2
+        da_even = jnp.zeros((tb, half, wl + 2, c), g.dtype)
+        da_odd = jnp.zeros((tb, half, wl + 2, c), g.dtype)
+        mf = m.astype(jnp.float32)  # Mosaic lacks packed-bf16 compares;
+        for kh, kw in _TAPS:        # the f32 cast is exact, ties unchanged
+            eq = (_tap(slab, kh, kw, tb, ho, wl, c).astype(jnp.float32)
+                  == mf) & ~claimed
+            claimed = claimed | eq
+            r0 = 0 if kh < 2 else 1  # kh {0,1}: rows 0..ho-1; kh=2: 1..ho
+            placed = jnp.pad(jnp.where(eq, g, zero),
+                             ((0, 0), (r0, half - ho - r0), (kw, 2 - kw),
+                              (0, 0)))
+            if kh == 1:
+                da_odd = da_odd + placed
+            else:
+                da_even = da_even + placed
+        da_pad = jnp.stack([da_even, da_odd], axis=2).reshape(
+            tb, h + 2, wl + 2, c)
+        # Slab col j -> dx col q0 + j - 1; keep the in-range columns
+        # [lo, hi) == slab cols [lo - q0 + 1, hi - q0 + 1).
+        jlo = lo - q0 + 1
+        da = jax.lax.slice(da_pad, (0, 1, jlo, 0),
+                           (tb, 1 + h, jlo + (hi - lo), c))
+
+        # ReLU backward with jnp.maximum's half-gradient at exact-zero ties.
+        daf = da.astype(jnp.float32)
+        daf = jnp.where(a_pre > 0, daf,
+                        jnp.where(a_pre < 0, 0.0, 0.5 * daf))
+        dx_ref[:, :, lo:hi, :] = dx_ref[:, :, lo:hi, :] + \
+            (daf * scale_ref[0]).astype(dx_ref.dtype)
+        ds_acc = ds_acc + jnp.sum(daf * xs, (0, 1, 2))[None, :]
+        dt_acc = dt_acc + jnp.sum(daf, (0, 1, 2))[None, :]
 
     @pl.when(bi == 0)
     def _init():
-        dscale_ref[:] = ds
-        dshift_ref[:] = dt
+        dscale_ref[:] = ds_acc
+        dshift_ref[:] = dt_acc
 
     @pl.when(bi != 0)
     def _accum():
-        dscale_ref[:] = dscale_ref[:] + ds
-        dshift_ref[:] = dshift_ref[:] + dt
+        dscale_ref[:] = dscale_ref[:] + ds_acc
+        dshift_ref[:] = dshift_ref[:] + dt_acc
 
 
 def _vmem(interpret: bool) -> dict:
@@ -162,7 +180,7 @@ def _pool_bwd_local(g, x, scale, shift, *, interpret):
     b, h, w, c = x.shape
     ho = h // 2
     return pl.pallas_call(
-        _pool_bwd_kernel,
+        functools.partial(_pool_bwd_kernel, chunk=min(w, 128)),
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, ho, w, c), lambda bi: (bi, 0, 0, 0),

@@ -31,6 +31,19 @@ def test_fused_pool_forward_matches_xla():
                                rtol=1e-6, atol=1e-6)
 
 
+def test_fused_pool_gradients_multichunk_seams():
+    """W > 128 exercises the in-kernel W-chunking incl. the seam columns
+    that two chunks accumulate into via read-modify-write."""
+    rng = np.random.default_rng(4)
+    x, s, t = _case(rng, B=2, W=300, ties=True)
+    ct = jnp.asarray(rng.standard_normal((2, 4, 300, 16)), jnp.float32)
+    g = jax.vjp(lambda *a: max_pool_bn_relu(*a, interpret=True), x, s, t)[1](ct)
+    gr = jax.vjp(lambda *a: max_pool_bn_relu_reference(*a), x, s, t)[1](ct)
+    for i, (a, b) in enumerate(zip(g, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"arg{i}")
+
+
 def test_fused_pool_gradients_match_xla():
     rng = np.random.default_rng(1)
     for ties in (False, True):
