@@ -8,7 +8,11 @@ realistic 45-55 TF/s sustained => ~1,300 img/s; we use 1,300.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
