@@ -1,0 +1,144 @@
+"""Real multi-process (multi-host) execution on the CPU backend.
+
+Round-1 believed multi-host could not be validated in this sandbox (the
+axon sitecustomize pre-inits PJRT); setting ``jax_platforms`` before first
+backend touch avoids that, and jax.distributed works over Gloo CPU
+collectives. This test launches TWO separate processes, each with 4
+virtual CPU devices, drives the framework's own init path
+(``HTRVT_COORDINATOR`` -> ``maybe_initialize_distributed``,
+parallel/mesh.py:32), builds ONE global 8-device mesh spanning both
+processes, feeds process-local batch shards via
+``jax.make_array_from_process_local_data`` and runs the REAL jitted SAM
+train step for several iterations. The loss trajectory must match a
+single-process 8-device run of the identical global batch — which proves
+the gradient all-reduce, sync-BN statistics and global SAM norm all hold
+across the process (DCN) boundary, not just across local devices.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/htrvt_jax_cache")
+
+sys.path.insert(0, os.environ["HTRVT_REPO"])
+from htr_vt_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                      maybe_initialize_distributed)
+
+maybe_initialize_distributed()  # reads HTRVT_COORDINATOR/_NUM_PROCESSES/_ID
+
+import jax.numpy as jnp
+import numpy as np
+from htr_vt_tpu.config import ExperimentConfig, MaskConfig, ModelConfig, OptimConfig
+from htr_vt_tpu.models.htr_vt import HTRVT
+from htr_vt_tpu.train.state import create_train_state
+from htr_vt_tpu.train.step import jit_train_step
+
+pid = jax.process_index()
+nproc = jax.process_count()
+assert jax.device_count() == 8 and jax.local_device_count() == 8 // nproc
+
+cfg = ExperimentConfig(
+    model=ModelConfig(nb_cls=8, img_size=(64, 128), embed_dim=64, depth=1,
+                      num_heads=2, compute_dtype="float32",
+                      masking=MaskConfig(mode="none")),
+    optim=OptimConfig(max_lr=1e-3, warmup_iters=2, total_iters=50),
+)
+model = HTRVT(cfg.model)
+mesh = make_mesh()
+bsh = batch_sharding(mesh)
+
+B = 16
+rng = np.random.default_rng(0)
+images = rng.random((B, 64, 128, 1)).astype(np.float32)
+labels = rng.integers(1, 8, (B, 8)).astype(np.int32)
+lengths = rng.integers(3, 8, (B,)).astype(np.int32)
+
+per = B // nproc
+sl = slice(pid * per, (pid + 1) * per)
+batch = {
+    "image": jax.make_array_from_process_local_data(bsh, images[sl]),
+    "labels": jax.make_array_from_process_local_data(bsh, labels[sl]),
+    "label_lengths": jax.make_array_from_process_local_data(bsh, lengths[sl]),
+}
+
+sample = np.zeros((B, 64, 128, 1), np.float32)
+state = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+step = jit_train_step(model, cfg, donate=False)
+for i in range(4):
+    state, metrics = step(state, batch)
+    print(f"MHLOSS {i} {float(metrics['loss']):.8f} "
+          f"{float(metrics['grad_norm']):.8f}", flush=True)
+print("MHDONE", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch(pid: int, nproc: int, port: int, tmp):
+    env = dict(os.environ)
+    env.update({
+        "HTRVT_REPO": REPO,
+        "HTRVT_COORDINATOR": f"localhost:{port}",
+        "HTRVT_NUM_PROCESSES": str(nproc),
+        "HTRVT_PROCESS_ID": str(pid),
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={8 // nproc}",
+        "JAX_PLATFORMS": "cpu",
+    })
+    script = os.path.join(tmp, f"worker_{pid}.py")
+    with open(script, "w") as f:
+        f.write(WORKER)
+    return subprocess.Popen([sys.executable, script], env=env,
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True)
+
+
+def _parse(out: str):
+    losses = []
+    for line in out.splitlines():
+        if line.startswith("MHLOSS"):
+            _, i, loss, gnorm = line.split()
+            losses.append((float(loss), float(gnorm)))
+    return losses
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    port = _free_port()
+    procs = [_launch(pid, 2, port, str(tmp_path)) for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        assert "MHDONE" in out, f"proc {pid} incomplete:\n{out[-4000:]}"
+    traj = [_parse(o) for o in outs]
+    assert len(traj[0]) == 4
+    # Both processes observe the identical global loss/grad-norm trajectory.
+    np.testing.assert_allclose(traj[0], traj[1], rtol=1e-6, atol=1e-7)
+
+    # Single-process 8-device reference over the same global batch: the
+    # worker script with nproc=1 runs the exact same math on one host.
+    sp = _launch(0, 1, _free_port(), str(tmp_path))
+    out, _ = sp.communicate(timeout=900)
+    assert sp.returncode == 0 and "MHDONE" in out, out[-4000:]
+    ref = _parse(out)
+    # Cross-process collectives (Gloo) vs local all-reduce reassociate
+    # float32 sums; the trajectories agree to numerical tolerance.
+    np.testing.assert_allclose(traj[0], ref, rtol=2e-4, atol=1e-5)
