@@ -101,6 +101,10 @@ class ModelConfig:
     conv_impl: str = "auto"
     # Stem first-pool implementation: auto | pallas | xla (ops/pool_fused.py).
     pool_impl: str = "auto"
+    # Quantized INFERENCE: "none" | "int8" (dynamic A8W8, ops/quant.py).
+    # Applies to the eval path of the resnet18 stem + global-attention ViT
+    # (the flagship); training always runs the float path.
+    quant: str = "none"
     masking: MaskConfig = field(default_factory=MaskConfig)
     sgm: SGMConfig = field(default_factory=SGMConfig)
 

@@ -57,6 +57,7 @@ class HTRVT(nn.Module):
         else:
             x = ResNet18Stem(embed_dim=cfg.embed_dim, dtype=dtype,
                              conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
+                             quant=cfg.quant == "int8" and not train,
                              name="stem")(x, train=train)
         b = x.shape[0]
         tokens = x.reshape(b, -1, cfg.embed_dim)  # [B, N, D]
@@ -79,7 +80,13 @@ class HTRVT(nn.Module):
             pos = sincos_pos_embed_2d(cfg.embed_dim, grid)  # static numpy
             tokens = tokens + jnp.asarray(pos, dtype)[None, :n]
 
-        for block in build_encoder_blocks(cfg):
+        # Quantization is inference-only: the training trace always builds
+        # the float encoder regardless of cfg.quant.
+        enc_cfg = cfg
+        if train and cfg.quant != "none":
+            import dataclasses
+            enc_cfg = dataclasses.replace(cfg, quant="none")
+        for block in build_encoder_blocks(enc_cfg):
             tokens = block(tokens, deterministic=not train)
 
         feats = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,

@@ -63,6 +63,36 @@ def _sincos_1d(embed_dim: int, pos: np.ndarray) -> np.ndarray:
     return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
 
+class QDense(nn.Module):
+    """Dense with an optional dynamic-int8 path (ops/quant.py).
+
+    Parameter tree ({kernel, bias}, shapes) is identical to flax
+    ``nn.Dense``, so checkpoints are interchangeable and ``quant`` is a pure
+    inference-serving switch."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    kernel_init: nn.initializers.Initializer = nn.initializers.xavier_uniform()
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        if self.quant:
+            from htr_vt_tpu.ops.quant import dot_int8
+            y = dot_int8(x, kernel).astype(self.dtype)
+        else:
+            y = jax.lax.dot_general(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Mlp(nn.Module):
     """Transformer MLP: Dense -> GELU -> drop -> Dense -> drop."""
 
@@ -70,16 +100,16 @@ class Mlp(nn.Module):
     out_dim: Optional[int] = None
     drop_rate: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         out_dim = self.out_dim or x.shape[-1]
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                     kernel_init=nn.initializers.xavier_uniform(), name="fc1")(x)
+        x = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
+                   name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
-        x = nn.Dense(out_dim, dtype=self.dtype,
-                     kernel_init=nn.initializers.xavier_uniform(), name="fc2")(x)
+        x = QDense(out_dim, dtype=self.dtype, quant=self.quant, name="fc2")(x)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         return x
 

@@ -125,15 +125,30 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bn_momentum: float = 0.9
     conv_impl: str = "auto"  # auto | pallas | xla
+    quant: bool = False  # dynamic-int8 convs (inference only; ops/quant.py)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         dt = self.dtype
         cin = x.shape[-1]
-        def conv_fn(c_in, c_out):
-            return (conv3x3_bn_relu
-                    if _use_pallas(self.conv_impl, c_in, c_out)
-                    else conv3x3_bn_relu_reference)
+        if self.quant:
+            from htr_vt_tpu.ops.quant import conv_int8
+
+            def conv_fn(c_in, c_out):
+                def q(x, k, scale=None, shift=None, *, strides=(1, 1),
+                      relu=True):
+                    if scale is not None:
+                        a = x.astype(jnp.float32) * scale + shift
+                        if relu:
+                            a = jnp.maximum(a, 0.0)
+                        x = a.astype(dt)
+                    return conv_int8(x, k, strides).astype(dt)
+                return q
+        else:
+            def conv_fn(c_in, c_out):
+                return (conv3x3_bn_relu
+                        if _use_pallas(self.conv_impl, c_in, c_out)
+                        else conv3x3_bn_relu_reference)
         bn = lambda name: FoldedBatchNorm(momentum=self.bn_momentum, name=name)
 
         x = _conv_in(x.astype(dt))
@@ -148,9 +163,14 @@ class BasicBlock(nn.Module):
 
         if self.use_projection:
             kp = _Conv3x3(self.features, cin, ksize=1, name="proj_conv")()
-            p = jax.lax.conv_general_dilated(
-                x, kp.astype(dt), self.strides, "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.quant:
+                from htr_vt_tpu.ops.quant import conv_int8
+                p = conv_int8(x, kp.astype(dt), self.strides,
+                              padding=((0, 0), (0, 0))).astype(dt)
+            else:
+                p = jax.lax.conv_general_dilated(
+                    x, kp.astype(dt), self.strides, "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
             sp, tp = bn("proj_bn")(p, train=train)
             residual = p.astype(jnp.float32) * sp + tp
         else:
@@ -186,6 +206,7 @@ class ResNet18Stem(nn.Module):
     final_maxpool: bool = True
     conv_impl: str = "auto"
     pool_impl: str = "auto"  # auto | pallas | xla (ops/pool_fused.py)
+    quant: bool = False  # int8 stage convs (inference; conv1 at Cin=1 stays float)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -217,10 +238,10 @@ class ResNet18Stem(nn.Module):
         for si, (w, strides) in enumerate(zip(widths, self.stage_strides)):
             needs_proj = strides != (1, 1) or in_width != w
             x = BasicBlock(w, strides, use_projection=needs_proj, dtype=self.dtype,
-                           conv_impl=self.conv_impl,
+                           conv_impl=self.conv_impl, quant=self.quant,
                            name=f"stage{si + 1}_block1")(x, train=train)
             x = BasicBlock(w, (1, 1), use_projection=False, dtype=self.dtype,
-                           conv_impl=self.conv_impl,
+                           conv_impl=self.conv_impl, quant=self.quant,
                            name=f"stage{si + 1}_block2")(x, train=train)
             in_width = w
 

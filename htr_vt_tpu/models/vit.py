@@ -52,18 +52,20 @@ class Attention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        from htr_vt_tpu.models.layers import QDense
         b, n, c = x.shape
         head_dim = c // self.num_heads
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
-                       kernel_init=_XAVIER, name="qkv")(x)
+        qkv = QDense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                     quant=self.quant, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         out = multi_head_attention(
             _split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
             _split_heads(v, self.num_heads), scale=head_dim**-0.5, out_dtype=self.dtype)
-        out = nn.Dense(c, dtype=self.dtype, kernel_init=_XAVIER, name="proj")(out)
+        out = QDense(c, dtype=self.dtype, quant=self.quant, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -166,6 +168,7 @@ class Block(nn.Module):
     attention: str = "global"
     window_size: int = 16
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -174,7 +177,7 @@ class Block(nn.Module):
                                          name=name)
         if self.attention == "global":
             attn = Attention(self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
-                             dtype=self.dtype, name="attn")
+                             dtype=self.dtype, quant=self.quant, name="attn")
         elif self.attention in ("window", "window_shifted"):
             attn = WindowAttention1D(self.num_heads, self.window_size,
                                      shift=self.attention == "window_shifted",
@@ -191,6 +194,7 @@ class Block(nn.Module):
         y = attn(norm("norm1")(x).astype(self.dtype), deterministic=deterministic)
         x = x + dp1(ls1(y), deterministic=deterministic)
         y = Mlp(int(dim * self.mlp_ratio), drop_rate=self.drop, dtype=self.dtype,
+                quant=self.quant,
                 name="mlp")(norm("norm2")(x).astype(self.dtype), deterministic=deterministic)
         x = x + dp2(ls2(y), deterministic=deterministic)
         return x

@@ -1,0 +1,109 @@
+"""ops/quant.py: dynamic int8 conv/dot for quantized inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from htr_vt_tpu.ops.quant import conv_int8, dot_int8
+
+
+def test_conv_int8_close_to_float():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 12)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 12, 24)) * 0.1, jnp.float32)
+    y = conv_int8(x, w)
+    yr = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    rel = float(jnp.max(jnp.abs(y - yr)) / jnp.max(jnp.abs(yr)))
+    assert rel < 0.03, rel
+
+
+def test_conv_int8_strided():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.1, jnp.float32)
+    y = conv_int8(x, w, strides=(2, 2))
+    assert y.shape == (2, 4, 8, 16)
+    yr = jax.lax.conv_general_dilated(
+        x, w, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    rel = float(jnp.max(jnp.abs(y - yr)) / jnp.max(jnp.abs(yr)))
+    assert rel < 0.03, rel
+
+
+def test_dot_int8_close_to_float_and_batched():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((4, 6, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 16)) * 0.1, jnp.float32)
+    y = dot_int8(x, w)
+    assert y.shape == (4, 6, 16)
+    yr = x @ w
+    rel = float(jnp.max(jnp.abs(y - yr)) / jnp.max(jnp.abs(yr)))
+    assert rel < 0.03, rel
+
+
+def test_int8_per_channel_scales_handle_mixed_magnitudes():
+    """A per-tensor weight scale would crush small channels next to a huge
+    one; per-output-channel scales keep each channel's relative error small."""
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((32, 4)).astype(np.float32) * 0.01
+    w[:, 0] *= 1000.0  # one dominant channel
+    x = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)
+    y = dot_int8(x, jnp.asarray(w))
+    yr = x @ jnp.asarray(w)
+    for c in range(4):
+        denom = float(jnp.max(jnp.abs(yr[:, c])))
+        rel = float(jnp.max(jnp.abs(y[:, c] - yr[:, c]))) / denom
+        assert rel < 0.05, (c, rel)
+
+
+def test_int8_zero_input_safe():
+    x = jnp.zeros((2, 4, 4, 8), jnp.float32)
+    w = jnp.ones((3, 3, 8, 8), jnp.float32)
+    y = conv_int8(x, w)
+    assert np.isfinite(np.asarray(y)).all() and float(jnp.abs(y).max()) == 0.0
+
+
+def test_quantized_flagship_eval_close_to_float():
+    """ModelConfig.quant='int8' swaps the stem convs and ViT matmuls to the
+    dynamic-int8 path at EVAL only: same parameter tree, logits within a few
+    percent of the float model, and the training trace stays float."""
+    import dataclasses
+
+    from htr_vt_tpu.config import MaskConfig, ModelConfig
+    from htr_vt_tpu.models.htr_vt import HTRVT
+
+    rng = np.random.default_rng(5)
+    base = ModelConfig(nb_cls=8, img_size=(64, 128), embed_dim=64, depth=2,
+                       num_heads=2, compute_dtype="float32",
+                       masking=MaskConfig(mode="none"))
+    fmodel = HTRVT(base)
+    qmodel = HTRVT(dataclasses.replace(base, quant="int8"))
+    img = jnp.asarray(rng.random((2, 64, 128, 1)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    variables = fmodel.init({"params": key, "mask": key, "dropout": key},
+                            img, train=False)
+    yf = fmodel.apply(variables, img, train=False)
+    yq = qmodel.apply(variables, img, train=False)  # same tree, quant path
+    assert yq.shape == yf.shape
+    rel = float(jnp.linalg.norm(yq - yf) / (jnp.linalg.norm(yf) + 1e-9))
+    assert rel < 0.15, rel
+    assert not np.allclose(np.asarray(yq), np.asarray(yf))  # int8 really ran
+
+    # Training trace of the quant config is the float path: gradients exist
+    # and match the float model's (round() has no useful gradient, so this
+    # would fail loudly if quant leaked into training).
+    def loss(m, v):
+        out, _ = m.apply(v, img, train=True, use_masking=False,
+                         rngs={"mask": key, "dropout": key},
+                         mutable=["batch_stats"])
+        return (out.astype(jnp.float32) ** 2).mean()
+
+    gq = jax.grad(lambda p: loss(qmodel, {**variables, "params": p}))(
+        variables["params"])
+    gf = jax.grad(lambda p: loss(fmodel, {**variables, "params": p}))(
+        variables["params"])
+    for a, b in zip(jax.tree.leaves(gq), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

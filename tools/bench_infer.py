@@ -31,7 +31,9 @@ def main() -> None:
     from htr_vt_tpu.ops.decode import greedy_decode
     from htr_vt_tpu.train.state import create_train_state
 
-    cfg = ExperimentConfig(model=ModelConfig(nb_cls=80), optim=OptimConfig())
+    cfg = ExperimentConfig(model=ModelConfig(
+        nb_cls=80, quant=os.environ.get("HTRVT_QUANT", "none")),
+        optim=OptimConfig())
     batch_size = 128
     model = HTRVT(cfg.model)
     rng = np.random.default_rng(0)
