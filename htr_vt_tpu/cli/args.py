@@ -43,6 +43,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--mask-ratio", type=float, default=0.3)
     p.add_argument("--max-span-length", type=int, default=4)
     p.add_argument("--compute-dtype", type=str, default="bfloat16")
+    p.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
+                   help="quantized INFERENCE path (dynamic A8W8); training is"
+                        " always float")
     p.add_argument("--embed-dim", type=int, default=768)
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--num-heads", type=int, default=6)
@@ -126,6 +129,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         nb_cls=args.nb_cls or cfg.model.nb_cls,
         img_size=img_size,
         compute_dtype=args.compute_dtype,
+        quant=args.quant,
         embed_dim=args.embed_dim, depth=args.depth, num_heads=args.num_heads,
         model_type=args.model_type, decoder_layers=args.decoder_layers,
         decoder_heads=args.decoder_heads, max_seq_len=args.max_seq_len,

@@ -80,10 +80,15 @@ class QDense(nn.Module):
     def __call__(self, x):
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features))
-        if self.quant:
-            from htr_vt_tpu.ops.quant import dot_int8
-            y = dot_int8(x, kernel).astype(self.dtype)
-        else:
+        quant = self.quant
+        if quant:
+            from htr_vt_tpu.ops.quant import activation_scale, dot_int8
+            mode, amax = activation_scale(self, "amax", x)
+            if mode == "calibrate":
+                quant = False  # record stats, run float this pass
+            else:
+                y = dot_int8(x, kernel, amax=amax).astype(self.dtype)
+        if not quant:
             y = jax.lax.dot_general(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))

@@ -132,9 +132,9 @@ class BasicBlock(nn.Module):
         dt = self.dtype
         cin = x.shape[-1]
         if self.quant:
-            from htr_vt_tpu.ops.quant import conv_int8
+            from htr_vt_tpu.ops.quant import activation_scale, conv_int8
 
-            def conv_fn(c_in, c_out):
+            def conv_fn(site):
                 def q(x, k, scale=None, shift=None, *, strides=(1, 1),
                       relu=True):
                     if scale is not None:
@@ -142,10 +142,16 @@ class BasicBlock(nn.Module):
                         if relu:
                             a = jnp.maximum(a, 0.0)
                         x = a.astype(dt)
-                    return conv_int8(x, k, strides).astype(dt)
+                    mode, amax = activation_scale(self, f"{site}_amax", x)
+                    if mode == "calibrate":
+                        return conv3x3_bn_relu_reference(
+                            x, k, strides=strides, relu=False)
+                    return conv_int8(x, k, strides, amax=amax).astype(dt)
                 return q
         else:
-            def conv_fn(c_in, c_out):
+            def conv_fn(site):
+                c_in, c_out = {"conv1": (cin, self.features),
+                               "conv2": (self.features, self.features)}[site]
                 return (conv3x3_bn_relu
                         if _use_pallas(self.conv_impl, c_in, c_out)
                         else conv3x3_bn_relu_reference)
@@ -155,18 +161,20 @@ class BasicBlock(nn.Module):
         k1 = _Conv3x3(self.features, cin, name="conv1")().astype(dt)
         k2 = _Conv3x3(self.features, self.features, name="conv2")().astype(dt)
 
-        y1 = conv_fn(cin, self.features)(x, k1, strides=self.strides)
+        y1 = conv_fn("conv1")(x, k1, strides=self.strides)
         s1, t1 = bn("bn1")(y1, train=train)
-        y2 = conv_fn(self.features, self.features)(
-            y1, k2, s1, t1, strides=(1, 1), relu=True)
+        y2 = conv_fn("conv2")(y1, k2, s1, t1, strides=(1, 1), relu=True)
         s2, t2 = bn("bn2")(y2, train=train)
 
         if self.use_projection:
             kp = _Conv3x3(self.features, cin, ksize=1, name="proj_conv")()
+            proj_mode = None
             if self.quant:
-                from htr_vt_tpu.ops.quant import conv_int8
+                from htr_vt_tpu.ops.quant import activation_scale, conv_int8
+                proj_mode, amax = activation_scale(self, "proj_amax", x)
+            if self.quant and proj_mode != "calibrate":
                 p = conv_int8(x, kp.astype(dt), self.strides,
-                              padding=((0, 0), (0, 0))).astype(dt)
+                              padding=((0, 0), (0, 0)), amax=amax).astype(dt)
             else:
                 p = jax.lax.conv_general_dilated(
                     x, kp.astype(dt), self.strides, "VALID",

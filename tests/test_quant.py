@@ -107,3 +107,18 @@ def test_quantized_flagship_eval_close_to_float():
     for a, b in zip(jax.tree.leaves(gq), jax.tree.leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+    # Calibrated static-scale path: one float pass records per-site amax
+    # (and returns FLOAT outputs), then eval with quant_stats runs the fused
+    # static path — at per-tensor granularity it should track the dynamic
+    # path closely and the float model within a few percent.
+    ycal, mut = qmodel.apply(variables, img, train=False,
+                             mutable=["quant_stats"])
+    np.testing.assert_allclose(np.asarray(ycal), np.asarray(yf),
+                               rtol=2e-5, atol=2e-5)  # calibration IS float
+    stats = mut["quant_stats"]
+    assert all(float(v) > 0 for v in jax.tree.leaves(stats))
+    ys = qmodel.apply({**variables, "quant_stats": stats}, img, train=False)
+    rel_s = float(jnp.linalg.norm(ys - yf) / (jnp.linalg.norm(yf) + 1e-9))
+    assert rel_s < 0.15, rel_s
+    assert not np.allclose(np.asarray(ys), np.asarray(yf))

@@ -34,7 +34,7 @@ def main() -> None:
     cfg = ExperimentConfig(model=ModelConfig(
         nb_cls=80, quant=os.environ.get("HTRVT_QUANT", "none")),
         optim=OptimConfig())
-    batch_size = 128
+    batch_size = int(os.environ.get("HTRVT_BS", "128"))
     model = HTRVT(cfg.model)
     rng = np.random.default_rng(0)
     sample = np.zeros((batch_size, 64, 512, 1), np.float32)
@@ -42,10 +42,23 @@ def main() -> None:
 
     image = jnp.asarray(rng.random((batch_size, 64, 512, 1), dtype=np.float32))
 
+    # Calibration pass for the static-scale int8 path: one float forward
+    # recording per-site activation abs-max into the quant_stats collection.
+    extra = {}
+    if cfg.model.quant == "int8":
+        def calib(params, batch_stats, image):
+            _, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats}, image,
+                train=False, mutable=["quant_stats"])
+            return mut["quant_stats"]
+        extra["quant_stats"] = jax.jit(calib)(
+            state.ema_params, state.ema_batch_stats, image)
+
     @jax.jit
     def infer(params, batch_stats, image):
-        logits = model.apply({"params": params, "batch_stats": batch_stats},
-                             image, train=False)
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats, **extra},
+            image, train=False)
         return greedy_decode(logits)
 
     out = infer(state.ema_params, state.ema_batch_stats, image)
