@@ -98,7 +98,19 @@ class CheckpointManager:
                 raise FileNotFoundError(f"no checkpoints under {path}")
             path = latest
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(template))
-        state = self._ckptr.restore(os.path.join(path, "state"), abstract)
+        try:
+            state = self._ckptr.restore(os.path.join(path, "state"), abstract)
+        except Exception:
+            # The eval template may be a strict SUBTREE of the training
+            # state — e.g. an SGM-trained checkpoint (params.sgm_head is a
+            # training-only head, model_sgm_2/train.py:144-158) evaluated by
+            # cli/test without the SGM batch. Restore just the overlapping
+            # leaves; anything missing from the CHECKPOINT still errors.
+            with ocp.PyTreeCheckpointer() as ck:
+                state = ck.restore(
+                    os.path.join(path, "state"),
+                    args=ocp.args.PyTreeRestore(item=abstract,
+                                                partial_restore=True))
         meta: Dict[str, Any] = {}
         meta_path = os.path.join(path, "meta.json")
         if os.path.exists(meta_path):

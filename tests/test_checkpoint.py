@@ -44,6 +44,44 @@ def test_roundtrip_exact(tmp_path):
         np.asarray(jax.random.key_data(restored.rng)))
 
 
+def test_restore_into_subtree_template(tmp_path):
+    """An SGM-trained checkpoint carries training-only params (sgm_head);
+    eval CLIs build templates WITHOUT them and must still restore (the
+    partial-restore path in CheckpointManager.restore)."""
+    import dataclasses
+
+    from htr_vt_tpu.config import SGMConfig
+
+    cfg = _cfg()
+    sgm_cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, sgm=SGMConfig(enable=True, vocab_size=16)))
+    model = HTRVT(sgm_cfg.model)
+    sgm_sample = {"sgm_left": np.zeros((2, 4, 5), np.int32),
+                  "sgm_right": np.zeros((2, 4, 5), np.int32),
+                  "sgm_tgt": np.zeros((2, 4), np.int32),
+                  "sgm_mask": np.ones((2, 4), np.float32)}
+    state = create_train_state(sgm_cfg, model, jax.random.PRNGKey(0),
+                               np.zeros((2, 64, 128, 1), np.float32),
+                               sgm_sample=sgm_sample)
+    assert "sgm_head" in state.params
+    mgr = CheckpointManager(str(tmp_path), keep=2)
+    mgr.save(state, cer=0.3, wer=0.6, best_cer=0.3, best_wer=0.6)
+
+    template = _state(cfg, seed=3)  # no sgm_head in this tree
+    restored, meta = mgr.restore(str(tmp_path), template)
+    assert "sgm_head" not in restored.params
+    key = lambda kv: str(kv[0])
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(restored.params),
+                   key=key),
+            sorted(((k, v) for k, v in
+                    jax.tree_util.tree_leaves_with_path(state.params)
+                    if "sgm_head" not in str(k)), key=key)):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_best_copies_and_cleanup(tmp_path):
     cfg = _cfg()
     state = _state(cfg)
