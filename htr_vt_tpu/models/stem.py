@@ -46,6 +46,12 @@ def _conv_in(x):
     return jax.lax.optimization_barrier(x)
 
 
+def _int8_pays(cin: int, cout: int) -> bool:
+    """int8 beats bf16 on the MXU only when the contraction tiles fully
+    (measured: stage2/3 convs 1.7-1.9x, 192-channel stage1 1.0x)."""
+    return cin % 128 == 0 and cout % 128 == 0 and min(cin, cout) >= 256
+
+
 def _use_pallas(impl: str, cin: int, cout: int) -> bool:
     # "auto" resolves to XLA — the measured verdict (docs/PERF.md, r2): the
     # Pallas fused conv trio (fwd + dgrad/wgrad, prologue/epilogue fused)
@@ -131,10 +137,20 @@ class BasicBlock(nn.Module):
     def __call__(self, x, *, train: bool = False):
         dt = self.dtype
         cin = x.shape[-1]
+        sites = {"conv1": (cin, self.features),
+                 "conv2": (self.features, self.features)}
         if self.quant:
             from htr_vt_tpu.ops.quant import activation_scale, conv_int8
 
             def conv_fn(site):
+                c_in, c_out = sites[site]
+                if not _int8_pays(c_in, c_out):
+                    # stage1's 192 channels run the int8 conv no faster than
+                    # the 83-90%-MFU bf16 conv (measured 2.0 ms either way,
+                    # docs/PERF.md) — keep those float: same speed, zero
+                    # added quantization noise.
+                    return conv3x3_bn_relu_reference
+
                 def q(x, k, scale=None, shift=None, *, strides=(1, 1),
                       relu=True):
                     if scale is not None:
@@ -150,8 +166,7 @@ class BasicBlock(nn.Module):
                 return q
         else:
             def conv_fn(site):
-                c_in, c_out = {"conv1": (cin, self.features),
-                               "conv2": (self.features, self.features)}[site]
+                c_in, c_out = sites[site]
                 return (conv3x3_bn_relu
                         if _use_pallas(self.conv_impl, c_in, c_out)
                         else conv3x3_bn_relu_reference)
@@ -169,10 +184,11 @@ class BasicBlock(nn.Module):
         if self.use_projection:
             kp = _Conv3x3(self.features, cin, ksize=1, name="proj_conv")()
             proj_mode = None
-            if self.quant:
+            quant_proj = self.quant and _int8_pays(cin, self.features)
+            if quant_proj:
                 from htr_vt_tpu.ops.quant import activation_scale, conv_int8
                 proj_mode, amax = activation_scale(self, "proj_amax", x)
-            if self.quant and proj_mode != "calibrate":
+            if quant_proj and proj_mode != "calibrate":
                 p = conv_int8(x, kp.astype(dt), self.strides,
                               padding=((0, 0), (0, 0)), amax=amax).astype(dt)
             else:

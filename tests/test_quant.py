@@ -58,6 +58,17 @@ def test_int8_per_channel_scales_handle_mixed_magnitudes():
         assert rel < 0.05, (c, rel)
 
 
+def test_int8_stem_policy():
+    """int8 applies only where the MXU contraction tiles fully (measured:
+    192-channel stage1 gains nothing) — mirror of the conv_impl policy."""
+    from htr_vt_tpu.models.stem import _int8_pays
+    assert not _int8_pays(192, 192)   # stage1
+    assert not _int8_pays(192, 384)   # stage2 conv1 / proj
+    assert _int8_pays(384, 384)       # stage2 conv2
+    assert _int8_pays(384, 768) and _int8_pays(768, 768)  # stage3
+    assert not _int8_pays(16, 64)     # tiny test models stay float
+
+
 def test_int8_zero_input_safe():
     x = jnp.zeros((2, 4, 4, 8), jnp.float32)
     w = jnp.ones((3, 3, 8, 8), jnp.float32)

@@ -71,6 +71,20 @@ def main() -> None:
     _ = np.asarray(jax.tree.leaves(out)[0])
     dt = time.perf_counter() - t0
 
+    if os.environ.get("HTRVT_PROFILE"):
+        trace_dir = "/tmp/htrvt_trace_infer"
+        os.system(f"rm -rf {trace_dir}")
+        with jax.profiler.trace(trace_dir):
+            for _ in range(10):
+                out = infer(state.ema_params, state.ema_batch_stats, image)
+            _ = np.asarray(jax.tree.leaves(out)[0])
+        import glob
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from profile_step import report
+        xp = max(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True),
+                 key=os.path.getmtime)
+        report(xp, 10, 30)
+
     imgs_per_sec = iters * batch_size / dt
     flops_per_image = 38e9
     print(json.dumps({
