@@ -93,11 +93,24 @@ def main() -> None:
 
     eval_fns = {}
 
-    def eval_for(width):
+    def eval_for(width, calib_image):
+        """Per-width compiled eval fn; with --quant int8 the first batch of
+        the bucket calibrates the static activation scales (one float
+        forward recording abs-max into quant_stats, then the fused int8
+        program serves the bucket)."""
         if width not in eval_fns:
             cfg_b = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, img_size=(h, width)))
-            eval_fns[width] = jit_eval_step(build_model(cfg_b.model), cfg_b)
+            model_b = build_model(cfg_b.model)
+            extra = None
+            if cfg.model.quant == "int8":
+                _, mut = model_b.apply(
+                    {"params": state.ema_params,
+                     "batch_stats": state.ema_batch_stats},
+                    jax.numpy.asarray(calib_image), train=False,
+                    mutable=["quant_stats"])
+                extra = {"quant_stats": mut["quant_stats"]}
+            eval_fns[width] = jit_eval_step(model_b, cfg_b, extra_vars=extra)
         return eval_fns[width]
 
     def transcribe(chunk, width):
@@ -107,7 +120,8 @@ def main() -> None:
                                                  np.float32)])
         batch = {"image": imgs, "labels": np.zeros((bs, 8), np.int32),
                  "label_lengths": np.zeros((bs,), np.int32)}
-        out = eval_for(width)(state.ema_params, state.ema_batch_stats, batch)
+        out = eval_for(width, imgs)(state.ema_params, state.ema_batch_stats,
+                                    batch)
         texts = converter.decode_batch(np.asarray(out["pred_ids"])[:len(chunk)])
         if scorer is not None:
             from htr_vt_tpu.decode.beam import prefix_beam_search

@@ -50,7 +50,19 @@ def main() -> None:
     state, meta = ckpt.restore(args.checkpoint, template)
 
     mesh = make_mesh(cfg.parallel)
-    eval_fn = jit_eval_step(model, cfg)
+    extra = None
+    if cfg.model.quant == "int8":
+        # Calibrate static activation scales on one validation batch (float
+        # forward recording abs-max); without this the dynamic path still
+        # works but forgoes the fused-quantize speed.
+        calib, _, _ = next(iter(eval_batches(eval_ds, converter,
+                                             cfg.data.val_bs, max_label_len)))
+        _, mut = model.apply(
+            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+            jax.numpy.asarray(calib["image"]), train=False,
+            mutable=["quant_stats"])
+        extra = {"quant_stats": mut["quant_stats"]}
+    eval_fn = jit_eval_step(model, cfg, extra_vars=extra)
     loss, cer, wer, preds, labels = validate(
         eval_fn, state.ema_params, state.ema_batch_stats,
         eval_batches(eval_ds, converter, cfg.data.val_bs, max_label_len),

@@ -155,12 +155,15 @@ def train_step(model, cfg: ExperimentConfig, state: TrainState,
 
 
 def eval_step(model, cfg: ExperimentConfig, params, batch_stats,
-              batch: Batch) -> Dict[str, jax.Array]:
+              batch: Batch, extra_vars=None) -> Dict[str, jax.Array]:
     """Eval forward on given weights (the loop passes EMA weights, matching
     the reference's EMA-eval convention, train.py:149-153). Returns logits,
-    per-frame argmax and batch-mean CTC loss."""
-    logits = model.apply({"params": params, "batch_stats": batch_stats},
-                         batch["image"], train=False)
+    per-frame argmax and batch-mean CTC loss. ``extra_vars``: additional
+    variable collections closed over at jit time (e.g. calibrated
+    quant_stats for the static int8 path)."""
+    variables = {"params": params, "batch_stats": batch_stats,
+                 **(extra_vars or {})}
+    logits = model.apply(variables, batch["image"], train=False)
     loss = ctc_loss_auto(logits, batch["labels"], batch["label_lengths"]).mean()
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return {"logits": logits, "pred_ids": preds, "loss": loss}
@@ -171,8 +174,9 @@ def jit_train_step(model, cfg: ExperimentConfig, donate: bool = True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def jit_eval_step(model, cfg: ExperimentConfig):
-    return jax.jit(functools.partial(eval_step, model, cfg))
+def jit_eval_step(model, cfg: ExperimentConfig, extra_vars=None):
+    return jax.jit(functools.partial(eval_step, model, cfg,
+                                     extra_vars=extra_vars))
 
 
 def eval_step_ed(model, cfg: ExperimentConfig, params, batch_stats,

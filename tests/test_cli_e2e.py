@@ -70,6 +70,19 @@ def test_cli_serve_jsonl(run_dir, tmp_path):
     assert all({"image", "text"} <= set(r) for r in records)
 
 
+def test_cli_test_quant_int8(run_dir):
+    """--quant int8 drives calibration (one float batch -> quant_stats) and
+    the static-int8 eval through the test CLI."""
+    sys.argv = ["test", "SYNTH", "--checkpoint", os.path.join(run_dir, "best_CER"),
+                "--val-bs", "8", "--quant", "int8",
+                "--out-dir", os.path.dirname(run_dir), "--exp-name", "e2e",
+                *ARGS_COMMON]
+    from htr_vt_tpu.cli.test import main
+    main()
+    res = json.load(open(os.path.join(run_dir, "predictions.json")))
+    assert "CER" in res and len(res["samples"]) == 64
+
+
 def test_cli_serve_width_buckets(run_dir, tmp_path):
     """--width-buckets routes images by natural width to per-bucket compiled
     programs; output stays in input order and wide lines keep their width
@@ -84,7 +97,8 @@ def test_cli_serve_width_buckets(run_dir, tmp_path):
     out_file = str(tmp_path / "bucketed.jsonl")
     sys.argv = ["serve", "SYNTH", "--checkpoint", os.path.join(run_dir, "best_CER"),
                 "--images", str(tmp_path / "w*.png"), "--batch-size", "2",
-                "--width-buckets", "512,1024", "--out", out_file, *ARGS_COMMON]
+                "--width-buckets", "512,1024", "--quant", "int8",
+                "--out", out_file, *ARGS_COMMON]
     from htr_vt_tpu.cli.serve import main
     main()
     records = [json.loads(l) for l in open(out_file)]
