@@ -24,7 +24,6 @@ closes the block. No separate full-tensor normalize pass ever runs.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
