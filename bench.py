@@ -102,7 +102,7 @@ def main() -> None:
     peak_flops = 197e12
     mfu = imgs_per_sec * flops_per_image / peak_flops
 
-    print(json.dumps({
+    record = {
         "metric": "train_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 1),
         "unit": "img/s",
@@ -111,7 +111,50 @@ def main() -> None:
         "batch_size": batch_size,
         "mfu": round(mfu, 3),
         "speed_of_light_img_s": round(peak_flops / flops_per_image),
-    }))
+    }
+
+    # Serving metrics in the same record (eval fwd + on-device greedy
+    # decode; float and calibrated-int8). Best-effort: compiles are cached
+    # from the dev sessions, but never fail the train benchmark over them.
+    try:
+        from htr_vt_tpu.ops.decode import greedy_decode
+
+        def bench_infer(quant):
+            import dataclasses
+            mcfg = dataclasses.replace(cfg.model, quant=quant)
+            imodel = HTRVT(mcfg)
+            extra = {}
+            if quant == "int8":
+                def calib(p, b, img):
+                    _, mut = imodel.apply(
+                        {"params": p, "batch_stats": b}, img, train=False,
+                        mutable=["quant_stats"])
+                    return mut["quant_stats"]
+                extra["quant_stats"] = jax.jit(calib)(
+                    state.ema_params, state.ema_batch_stats, batch["image"])
+
+            @jax.jit
+            def infer(p, b, img):
+                return greedy_decode(imodel.apply(
+                    {"params": p, "batch_stats": b, **extra}, img,
+                    train=False))
+
+            out = infer(state.ema_params, state.ema_batch_stats,
+                        batch["image"])
+            np.asarray(jax.tree.leaves(out)[0])
+            t0 = time.perf_counter()
+            for _ in range(30):
+                out = infer(state.ema_params, state.ema_batch_stats,
+                            batch["image"])
+            np.asarray(jax.tree.leaves(out)[0])
+            return 30 * batch_size / (time.perf_counter() - t0)
+
+        record["infer_images_per_sec"] = round(bench_infer("none"), 1)
+        record["infer_int8_images_per_sec"] = round(bench_infer("int8"), 1)
+    except Exception as e:  # pragma: no cover - defensive
+        record["infer_error"] = str(e)[:200]
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
