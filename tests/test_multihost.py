@@ -39,6 +39,20 @@ maybe_initialize_distributed()  # reads HTRVT_COORDINATOR/_NUM_PROCESSES/_ID
 
 import jax.numpy as jnp
 import numpy as np
+
+# Establish the Gloo context NOW with a trivial collective: the context
+# rendezvous has a fixed 30 s window at the FIRST collective, and the heavy
+# model/compile work below can desynchronize the processes past it under
+# machine load. A tiny psum compiles in milliseconds, so both processes
+# reach it near-simultaneously; the big program then reuses the context.
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+_m = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+_w = jax.make_array_from_process_local_data(
+    NamedSharding(_m, P("data")),
+    np.ones((jax.local_device_count(), 1), np.float32))
+_total = float(jax.jit(lambda x: jnp.sum(x),
+                       out_shardings=NamedSharding(_m, P()))(_w))
+assert _total == jax.device_count(), _total
 from htr_vt_tpu.config import ExperimentConfig, MaskConfig, ModelConfig, OptimConfig
 from htr_vt_tpu.models.htr_vt import HTRVT
 from htr_vt_tpu.train.state import create_train_state
@@ -118,13 +132,31 @@ def _parse(out: str):
     return losses
 
 
-def test_two_process_training_matches_single_process(tmp_path):
+def _run_pair(tmp):
     port = _free_port()
-    procs = [_launch(pid, 2, port, str(tmp_path)) for pid in range(2)]
+    procs = [_launch(pid, 2, port, tmp) for pid in range(2)]
     outs = []
     for p in procs:
         out, _ = p.communicate(timeout=900)
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    # The Gloo rendezvous has a fixed 30 s key-value timeout; under heavy
+    # machine load (e.g. a concurrent hardware training run) the second
+    # process can miss it. One retry keeps the test meaningful without
+    # masking real failures.
+    for attempt in range(2):
+        procs, outs = _run_pair(str(tmp_path))
+        ok = all(p.returncode == 0 and "MHDONE" in o
+                 for p, o in zip(procs, outs))
+        if ok:
+            break
+        transient = any(s in o for o in outs
+                        for s in ("DEADLINE_EXCEEDED", "Gloo"))
+        if not (transient and attempt == 0):
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
         assert "MHDONE" in out, f"proc {pid} incomplete:\n{out[-4000:]}"
