@@ -53,7 +53,6 @@ def main() -> None:
     template = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
     ckpt = CheckpointManager(os.path.dirname(args.checkpoint.rstrip("/")) or ".")
     state, _ = ckpt.restore(args.checkpoint, template)
-    eval_fn = jit_eval_step(model, cfg)
 
     raw = np.array(Image.open(args.image).convert("L"))
     h, w = cfg.model.img_size
@@ -61,6 +60,16 @@ def main() -> None:
     if args.binarize_sweep:
         for th in (0.3, 0.4, 0.5, 0.6, 0.7):
             variants.append((f"bin@{th}", binarize(prepare_line_image(raw, w, h), th)))
+
+    extra = None
+    if cfg.model.quant == "int8":
+        # Calibrate static scales on the actual input image (single-image
+        # inference has no separate calibration stream).
+        _, mut = model.apply(
+            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+            variants[0][1][None], train=False, mutable=["quant_stats"])
+        extra = {"quant_stats": mut["quant_stats"]}
+    eval_fn = jit_eval_step(model, cfg, extra_vars=extra)
 
     corrector, vocabulary = None, None
     if args.llm_correct:

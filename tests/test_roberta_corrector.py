@@ -94,6 +94,6 @@ def test_cli_infer_llm_correct_path(tiny_roberta_dir, tmp_path):
     Image.fromarray(ds[0][0]).save(img_path)
     sys.argv = ["infer", "SYNTH", "--checkpoint",
                 os.path.join(out, "llm", "best_CER"), "--image", img_path,
-                "--llm-correct", tiny_roberta_dir, *common]
+                "--llm-correct", tiny_roberta_dir, "--quant", "int8", *common]
     from htr_vt_tpu.cli.infer import main as infer_main
     infer_main()
