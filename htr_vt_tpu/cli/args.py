@@ -46,6 +46,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--quant", type=str, default="none", choices=["none", "int8"],
                    help="quantized INFERENCE path (dynamic A8W8); training is"
                         " always float")
+    p.add_argument("--quant-gelu", type=str, default="quick",
+                   choices=["quick", "exact"],
+                   help="GELU flavor on the int8 serving path: quick = "
+                        "sigmoid approximation (+10%% img/s), exact = erf")
     p.add_argument("--embed-dim", type=int, default=768)
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--num-heads", type=int, default=6)
@@ -129,7 +133,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         nb_cls=args.nb_cls or cfg.model.nb_cls,
         img_size=img_size,
         compute_dtype=args.compute_dtype,
-        quant=args.quant,
+        quant=args.quant, quant_gelu=args.quant_gelu,
         embed_dim=args.embed_dim, depth=args.depth, num_heads=args.num_heads,
         model_type=args.model_type, decoder_layers=args.decoder_layers,
         decoder_heads=args.decoder_heads, max_seq_len=args.max_seq_len,

@@ -105,6 +105,12 @@ class ModelConfig:
     # Applies to the eval path of the resnet18 stem + global-attention ViT
     # (the flagship); training always runs the float path.
     quant: str = "none"
+    # GELU on the quantized serving path: "quick" = x*sigmoid(1.702x), one
+    # transcendental instead of erf's chain — measured +10% int8 serving
+    # throughput (4,663 vs 4,248 img/s, docs/PERF.md); "exact" keeps erf.
+    # Only consulted when quant != "none"; training/float eval always use
+    # exact GELU.
+    quant_gelu: str = "quick"
     masking: MaskConfig = field(default_factory=MaskConfig)
     sgm: SGMConfig = field(default_factory=SGMConfig)
 

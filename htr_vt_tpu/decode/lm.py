@@ -43,10 +43,96 @@ class NgramScorer:
             return float(self._lib.htrvt_ngram_score(self._handle, text.encode()))
         return self._py.score(text)
 
+    # -- incremental API (round-2 verdict #4): O(order) per extension -------
+
+    def begin(self) -> Tuple[str, ...]:
+        """Initial decoding state: sentence-start context."""
+        return ("<s>",)
+
+    def score_next(self, state: Tuple[str, ...], word: str
+                   ) -> Tuple[float, Tuple[str, ...]]:
+        """log10 p(word | state) plus the continuation state. Equivalent to
+        re-scoring the full prefix and differencing, at O(order) cost."""
+        lp = self.cond(list(state), word)
+        new_state = (tuple(state) + (word,))[-(max(self.order - 1, 1)):]
+        return lp, new_state
+
+    def end(self, state: Tuple[str, ...]) -> float:
+        """log10 p(</s> | state) — add to finalize a sentence score."""
+        return self.cond(list(state), "</s>")
+
+    def cond(self, context: List[str], word: str) -> float:
+        if self._handle:
+            return float(self._lib.htrvt_ngram_cond(
+                self._handle, " ".join(context).encode(), word.encode()))
+        ctx = context[-(self.order - 1):] if self.order > 1 else []
+        return self._py._cond(list(ctx), word)
+
+    def indexed(self, vocab: Sequence[str]) -> "IndexedNgram":
+        """Build an id-indexed view for batch conditional scoring
+        (decode/beam.py LM-fused beam). ``vocab[i]`` is the LM token for
+        id i; ids len(vocab)/len(vocab)+1 are <s>/</s>."""
+        return IndexedNgram(self, vocab)
+
     def __del__(self):
         if getattr(self, "_handle", None) and getattr(self, "_lib", None):
             try:
                 self._lib.htrvt_ngram_free(self._handle)
+            except Exception:
+                pass
+
+
+class IndexedNgram:
+    """Id-indexed conditional scorer over a caller vocabulary.
+
+    cond_batch(ctx_ids [N, ctx_len] int32, word_ids [N] int32) -> [N] float64
+    log10 conditional probabilities; negative ctx entries mean "absent".
+    Native-backed via htrvt_ngram_index/htrvt_ngram_cond_ids; pure-Python
+    fallback maps ids back to strings per query.
+    """
+
+    def __init__(self, scorer: NgramScorer, vocab: Sequence[str]):
+        self._scorer = scorer
+        self.vocab = list(vocab)
+        self.bos_id = len(self.vocab)
+        self.eos_id = len(self.vocab) + 1
+        self._words = self.vocab + ["<s>", "</s>"]
+        self._idx = None
+        if scorer._handle is not None:
+            import ctypes
+            arr = (ctypes.c_char_p * len(self.vocab))(
+                *[v.encode() for v in self.vocab])
+            self._idx = scorer._lib.htrvt_ngram_index(
+                scorer._handle, arr, len(self.vocab))
+
+    @property
+    def order(self) -> int:
+        return self._scorer.order
+
+    def cond_batch(self, ctx_ids, word_ids):
+        import numpy as np
+        ctx_ids = np.ascontiguousarray(ctx_ids, np.int32)
+        word_ids = np.ascontiguousarray(word_ids, np.int32)
+        n, ctx_len = ctx_ids.shape
+        assert word_ids.shape == (n,)
+        out = np.empty((n,), np.float64)
+        if self._idx is not None:
+            import ctypes
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            self._scorer._lib.htrvt_ngram_cond_ids(
+                self._idx, ctx_ids.ctypes.data_as(i32p), ctx_len, ctx_len,
+                word_ids.ctypes.data_as(i32p),
+                n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+            return out
+        for i in range(n):
+            ctx = [self._words[c] for c in ctx_ids[i] if c >= 0]
+            out[i] = self._scorer.cond(ctx, self._words[int(word_ids[i])])
+        return out
+
+    def __del__(self):
+        if getattr(self, "_idx", None) is not None:
+            try:
+                self._scorer._lib.htrvt_ngram_index_free(self._idx)
             except Exception:
                 pass
 

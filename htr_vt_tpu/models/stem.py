@@ -46,8 +46,11 @@ def _conv_in(x):
 
 
 def _int8_pays(cin: int, cout: int) -> bool:
-    """int8 beats bf16 on the MXU only when the contraction tiles fully
-    (measured: stage2/3 convs 1.7-1.9x, 192-channel stage1 1.0x)."""
+    """int8 beats bf16 on the MXU only when the contraction tiles fully.
+    Measured twice: round 2 on the dynamic path (stage2/3 1.7-1.9x, stage1
+    1.0x) and round 3 on the static calibrated path with s8-in/s8-out fusion
+    chains (whole-step 4,115 img/s with int8 stage1 vs 4,248 without) — the
+    192-channel stage1 convs stay float either way (docs/PERF.md)."""
     return cin % 128 == 0 and cout % 128 == 0 and min(cin, cout) >= 256
 
 

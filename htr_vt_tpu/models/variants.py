@@ -31,7 +31,8 @@ def vit_blocks(cfg: ModelConfig):
         Block(num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
               drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
               layer_norm_eps=cfg.layer_norm_eps, attention="global", dtype=dtype,
-              quant=cfg.quant == "int8", name=f"block{i}")
+              quant=cfg.quant == "int8",
+              quick_gelu=cfg.quant_gelu == "quick", name=f"block{i}")
         for i in range(cfg.depth)
     ]
 

@@ -169,6 +169,7 @@ class Block(nn.Module):
     window_size: int = 16
     dtype: jnp.dtype = jnp.bfloat16
     quant: bool = False
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -194,7 +195,7 @@ class Block(nn.Module):
         y = attn(norm("norm1")(x).astype(self.dtype), deterministic=deterministic)
         x = x + dp1(ls1(y), deterministic=deterministic)
         y = Mlp(int(dim * self.mlp_ratio), drop_rate=self.drop, dtype=self.dtype,
-                quant=self.quant,
+                quant=self.quant, quick_gelu=self.quick_gelu,
                 name="mlp")(norm("norm2")(x).astype(self.dtype), deterministic=deterministic)
         x = x + dp2(ls2(y), deterministic=deterministic)
         return x

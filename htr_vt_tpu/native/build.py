@@ -79,3 +79,18 @@ def _configure(lib: ctypes.CDLL) -> None:
         lib.htrvt_ngram_score.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.htrvt_ngram_order.restype = ctypes.c_int
         lib.htrvt_ngram_order.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "htrvt_ngram_cond"):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.htrvt_ngram_cond.restype = ctypes.c_double
+        lib.htrvt_ngram_cond.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                         ctypes.c_char_p]
+        lib.htrvt_ngram_index.restype = ctypes.c_void_p
+        lib.htrvt_ngram_index.argtypes = [ctypes.c_void_p,
+                                          ctypes.POINTER(ctypes.c_char_p),
+                                          ctypes.c_int]
+        lib.htrvt_ngram_cond_ids.restype = None
+        lib.htrvt_ngram_cond_ids.argtypes = [
+            ctypes.c_void_p, i32p, ctypes.c_int, ctypes.c_int, i32p,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
+        lib.htrvt_ngram_index_free.restype = None
+        lib.htrvt_ngram_index_free.argtypes = [ctypes.c_void_p]

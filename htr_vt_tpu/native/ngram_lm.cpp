@@ -9,8 +9,22 @@
 // C API (ctypes-bound in htr_vt_tpu/native/build.py):
 //   void*  htrvt_ngram_load(const char* arpa_path);   // NULL on failure
 //   double htrvt_ngram_score(void* lm, const char* sentence);
+//   double htrvt_ngram_cond(void* lm, const char* context, const char* word);
 //   int    htrvt_ngram_order(void* lm);
 //   void   htrvt_ngram_free(void* lm);
+//
+// Incremental / batch API for LM-fused beam search (decode/beam.py): an
+// *indexed* view maps a caller vocabulary to int32 ids once, then scores
+// (context ids, word id) queries in bulk with zero string work per query —
+// this is what makes LM-in-the-beam O(T) per prefix instead of the
+// O(T^2) re-walk of score(full_prefix) (round-2 verdict):
+//   void*  htrvt_ngram_index(void* lm, const char** vocab, int n_vocab);
+//   void   htrvt_ngram_cond_ids(void* idx, const int32_t* ctx, int ctx_len,
+//                               int stride, const int32_t* words, int n,
+//                               double* out);
+//   void   htrvt_ngram_index_free(void* idx);
+// Vocabulary ids are 0..n_vocab-1; ids n_vocab, n_vocab+1 denote <s>, </s>.
+// Negative context entries mean "absent" (shorter context).
 
 #include <cmath>
 #include <cstdint>
@@ -83,6 +97,49 @@ std::vector<std::string> tokenize(const char* text) {
     while (iss >> tok) out.push_back(tok);
     return out;
 }
+
+// Indexed view: n-gram table re-keyed by packed int32 id sequences so batch
+// queries do no string hashing. Ids: 0..n_vocab-1 = caller vocab,
+// n_vocab = <s>, n_vocab+1 = </s>; anything unmapped scores as <unk>.
+struct NgramIndex {
+    const NgramLM* lm;
+    int n_vocab = 0;
+    std::unordered_map<std::string, Entry> table;  // key = packed int32 ids
+    bool has_unk = false;
+    float unk_logprob = NgramLM::kUnkFloor;
+
+    static std::string pack(const int32_t* ids, int n) {
+        return std::string(reinterpret_cast<const char*>(ids),
+                           static_cast<size_t>(n) * sizeof(int32_t));
+    }
+
+    const Entry* find(const int32_t* ids, int n) const {
+        auto it = table.find(pack(ids, n));
+        return it == table.end() ? nullptr : &it->second;
+    }
+
+    // log10 p(word | ctx ids) with Katz backoff, mirroring
+    // NgramLM::cond_log10 exactly (tests pin the two against each other).
+    double cond(const int32_t* ctx, int ctx_len, int32_t word) const {
+        // Trim absent (negative) leading entries.
+        while (ctx_len > 0 && ctx[0] < 0) { ++ctx; --ctx_len; }
+        std::vector<int32_t> key(ctx, ctx + ctx_len);
+        key.push_back(word);
+        for (int start = 0; start <= ctx_len; ++start) {
+            const Entry* e = find(key.data() + start,
+                                  static_cast<int>(key.size()) - start);
+            if (e != nullptr) {
+                double bo = 0.0;
+                for (int s = 0; s < start; ++s) {
+                    const Entry* ce = find(ctx + s, ctx_len - s);
+                    if (ce != nullptr) bo += ce->backoff;
+                }
+                return bo + e->logprob;
+            }
+        }
+        return unk_logprob;
+    }
+};
 
 }  // namespace
 
@@ -157,6 +214,66 @@ double htrvt_ngram_score(void* handle, const char* sentence) {
 
 void htrvt_ngram_free(void* handle) {
     delete static_cast<NgramLM*>(handle);
+}
+
+double htrvt_ngram_cond(void* handle, const char* context, const char* word) {
+    if (handle == nullptr) return 0.0;
+    const auto* lm = static_cast<NgramLM*>(handle);
+    std::vector<std::string> ctx = tokenize(context);
+    const size_t max_ctx = static_cast<size_t>(lm->order) - 1;
+    if (ctx.size() > max_ctx)
+        ctx.erase(ctx.begin(), ctx.end() - max_ctx);
+    return lm->cond_log10(ctx, word);
+}
+
+void* htrvt_ngram_index(void* handle, const char** vocab, int n_vocab) {
+    if (handle == nullptr) return nullptr;
+    const auto* lm = static_cast<NgramLM*>(handle);
+    auto* idx = new NgramIndex();
+    idx->lm = lm;
+    idx->n_vocab = n_vocab;
+    std::unordered_map<std::string, int32_t> word_to_id;
+    word_to_id.reserve(static_cast<size_t>(n_vocab) + 2);
+    for (int i = 0; i < n_vocab; ++i) word_to_id[vocab[i]] = i;
+    word_to_id.emplace("<s>", n_vocab);
+    word_to_id.emplace("</s>", n_vocab + 1);
+    if (const Entry* u = lm->find("<unk>")) {
+        idx->has_unk = true;
+        idx->unk_logprob = u->logprob;
+    }
+    // Re-key every n-gram whose words are all mappable; the rest can never
+    // be produced by id queries over this vocabulary.
+    std::vector<int32_t> ids;
+    for (const auto& kv : lm->table) {
+        ids.clear();
+        std::istringstream iss(kv.first);
+        std::string w;
+        bool ok = true;
+        while (iss >> w) {
+            auto it = word_to_id.find(w);
+            if (it == word_to_id.end()) { ok = false; break; }
+            ids.push_back(it->second);
+        }
+        if (ok && !ids.empty())
+            idx->table.emplace(NgramIndex::pack(ids.data(),
+                                                static_cast<int>(ids.size())),
+                               kv.second);
+    }
+    return idx;
+}
+
+void htrvt_ngram_cond_ids(void* index, const int32_t* ctx, int ctx_len,
+                          int stride, const int32_t* words, int n,
+                          double* out) {
+    if (index == nullptr) return;
+    const auto* idx = static_cast<NgramIndex*>(index);
+    for (int i = 0; i < n; ++i)
+        out[i] = idx->cond(ctx + static_cast<size_t>(i) * stride, ctx_len,
+                           words[i]);
+}
+
+void htrvt_ngram_index_free(void* index) {
+    delete static_cast<NgramIndex*>(index);
 }
 
 }  // extern "C"

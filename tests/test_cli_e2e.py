@@ -125,3 +125,23 @@ def test_cli_test_with_lm(run_dir, tmp_path):
     main()
     res = json.load(open(os.path.join(run_dir, "kenlm_correction_results.json")))
     assert "cer" in res and len(res["samples"]) == 64
+
+
+def test_cli_test_with_lm_fused_beam(run_dir, tmp_path):
+    """--lm-in-beam: char LM fused into the vectorized prefix beam (O(T)
+    incremental scoring through the id-indexed native scorer)."""
+    from htr_vt_tpu.decode.lm_train import train_ngram_arpa
+    arpa = str(tmp_path / "char.arpa")
+    train_ngram_arpa(["hello world", "some words here"] * 3, arpa,
+                     order=3, level="char")
+    sys.argv = ["lm", "SYNTH", "--checkpoint", os.path.join(run_dir, "best_CER"),
+                "--arpa", arpa, "--val-bs", "8", "--beam-width", "3",
+                "--lm-in-beam", "--lm-weight", "0.4",
+                "--out-dir", os.path.dirname(run_dir), "--exp-name", "e2e",
+                "--results-out", str(tmp_path / "fused.json"),
+                *ARGS_COMMON]
+    from htr_vt_tpu.cli.test_with_lm import main
+    main()
+    res = json.load(open(str(tmp_path / "fused.json")))
+    assert "cer" in res and len(res["samples"]) == 64
+    assert res["decode_img_per_sec"] > 0

@@ -146,3 +146,107 @@ def test_char_level_lm(tmp_path):
     good = scorer.score(chars_for_lm("hello world"))
     bad = scorer.score(chars_for_lm("hxqzo wzrld"))
     assert good > bad
+
+
+def test_incremental_score_matches_full(arpa_path):
+    """score_next chained over words + end() must equal score(sentence)."""
+    scorer = NgramScorer(arpa_path)
+    for sent in ["the cat", "the dog", "cat", "zebra the cat"]:
+        state = scorer.begin()
+        total = 0.0
+        for w in sent.split():
+            lp, state = scorer.score_next(state, w)
+            total += lp
+        total += scorer.end(state)
+        assert abs(total - scorer.score(sent)) < 1e-5, sent
+
+
+def test_indexed_cond_matches_string_path(arpa_path):
+    """Id-indexed batch conditional scores == string-path cond()."""
+    scorer = NgramScorer(arpa_path)
+    vocab = ["the", "cat", "dog", "zebra"]
+    idx = scorer.indexed(vocab)
+    queries = [  # (ctx words or <s>, word)
+        ([-1, idx.bos_id], 0),     # p(the | <s>)
+        ([-1, 0], 1),              # p(cat | the)
+        ([-1, 0], 2),              # p(dog | the)
+        ([0, 1], idx.eos_id),      # p(</s> | the cat) -> backoff to (cat)
+        ([-1, 3], 1),              # p(cat | zebra) -> backoff
+        ([-1, -1], 2),             # p(dog) unigram, empty ctx
+    ]
+    ctx = np.array([q[0] for q in queries], np.int32)
+    words = np.array([q[1] for q in queries], np.int32)
+    got = idx.cond_batch(ctx, words)
+    names = vocab + ["<s>", "</s>"]
+    for i, (cq, wq) in enumerate(queries):
+        ctx_words = [names[c] for c in cq if c >= 0]
+        want = scorer.cond(ctx_words, names[wq])
+        assert abs(got[i] - want) < 1e-5, (i, ctx_words, names[wq])
+
+
+def test_prefix_beam_batch_matches_sequential():
+    from htr_vt_tpu.decode.beam import prefix_beam_search_batch
+    rng = np.random.default_rng(3)
+    b, t, c = 6, 20, 11
+    logp = rng.standard_normal((b, t, c)) * 2
+    logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+    batched = prefix_beam_search_batch(logp, beam_width=8, top_k_per_frame=6)
+    for i in range(b):
+        ref = prefix_beam_search(logp[i], beam_width=8, top_k_per_frame=6)
+        got = batched[i]
+        # same best prefix and score; full beam sets match as dicts
+        assert got[0][0] == ref[0][0], i
+        assert abs(got[0][1] - ref[0][1]) < 1e-9
+        ref_d = {p: s for p, s in ref}
+        for p, s in got:
+            if p in ref_d:
+                assert abs(s - ref_d[p]) < 1e-9
+
+
+def test_prefix_beam_batch_full_candidates():
+    """With top_k == C (every class considered) results must still match."""
+    from htr_vt_tpu.decode.beam import prefix_beam_search_batch
+    rng = np.random.default_rng(11)
+    logp = rng.standard_normal((3, 15, 5))
+    logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+    batched = prefix_beam_search_batch(logp, beam_width=12, top_k_per_frame=5)
+    for i in range(3):
+        ref = prefix_beam_search(logp[i], beam_width=12, top_k_per_frame=5)
+        assert batched[i][0][0] == ref[0][0]
+        assert abs(batched[i][0][1] - ref[0][1]) < 1e-9
+
+
+def test_prefix_beam_batch_lm_fused(tmp_path):
+    """LM-fused vectorized beam == dict-impl beam driven with the equivalent
+    incremental conditional callback."""
+    from htr_vt_tpu.decode.beam import prefix_beam_search_batch
+    from htr_vt_tpu.decode.lm_train import train_ngram_arpa
+
+    corpus = ["abba", "abab", "baba", "aabb"] * 4
+    path = str(tmp_path / "char.arpa")
+    train_ngram_arpa(corpus, path, order=3, level="char")
+    scorer = NgramScorer(path)
+
+    # classes: 0=blank, 1='a', 2='b'
+    vocab = ["a", "b"]
+    idx = scorer.indexed(vocab)
+    lut = np.array([-1, 0, 1], np.int32)
+
+    rng = np.random.default_rng(5)
+    b, t, c = 4, 12, 3
+    logp = rng.standard_normal((b, t, c))
+    logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+
+    got = prefix_beam_search_batch(logp, beam_width=6, top_k_per_frame=3,
+                                   lm=idx, lm_weight=0.7, lm_id_of_class=lut)
+
+    def lm_cb(prefix):
+        # conditional of the last char given the chars before it, from <s>
+        words = ["<s>"] + [vocab[p - 1] for p in prefix]
+        return scorer.cond(words[:-1], words[-1])
+
+    for i in range(b):
+        ref = prefix_beam_search(logp[i], beam_width=6, top_k_per_frame=3,
+                                 lm_score=lm_cb, lm_weight=0.7)
+        assert got[i][0][0] == ref[0][0], i
+        assert abs(got[i][0][1] - ref[0][1]) < 1e-6

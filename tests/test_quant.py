@@ -90,7 +90,10 @@ def test_quantized_flagship_eval_close_to_float():
                        num_heads=2, compute_dtype="float32",
                        masking=MaskConfig(mode="none"))
     fmodel = HTRVT(base)
-    qmodel = HTRVT(dataclasses.replace(base, quant="int8"))
+    # quant_gelu="exact" isolates the int8 error from the (separately
+    # defaulted) quick-GELU approximation; the quick flavor is pinned below.
+    qmodel = HTRVT(dataclasses.replace(base, quant="int8",
+                                       quant_gelu="exact"))
     img = jnp.asarray(rng.random((2, 64, 128, 1)), jnp.float32)
     key = jax.random.PRNGKey(0)
     variables = fmodel.init({"params": key, "mask": key, "dropout": key},
@@ -133,3 +136,17 @@ def test_quantized_flagship_eval_close_to_float():
     rel_s = float(jnp.linalg.norm(ys - yf) / (jnp.linalg.norm(yf) + 1e-9))
     assert rel_s < 0.15, rel_s
     assert not np.allclose(np.asarray(ys), np.asarray(yf))
+
+    # quick-GELU serving default (config.quant_gelu="quick"): a bounded extra
+    # approximation on top of int8 — logits stay close to float, and its
+    # calibration pass (float matmuls + quick GELU) tracks float closely too.
+    qk = HTRVT(dataclasses.replace(base, quant="int8"))
+    ycal_q, mut_q = qk.apply(variables, img, train=False,
+                             mutable=["quant_stats"])
+    rel_cal = float(jnp.linalg.norm(ycal_q - yf) /
+                    (jnp.linalg.norm(yf) + 1e-9))
+    assert rel_cal < 0.05, rel_cal
+    yq2 = qk.apply({**variables, "quant_stats": mut_q["quant_stats"]},
+                   img, train=False)
+    rel_q = float(jnp.linalg.norm(yq2 - yf) / (jnp.linalg.norm(yf) + 1e-9))
+    assert rel_q < 0.15, rel_q
