@@ -50,8 +50,10 @@ def main() -> None:
     parser.add_argument("--lm-weight", type=float, default=1.0)
     parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--width-buckets", type=str, default=None,
-                        help="comma-separated widths (e.g. 512,1024,2048); "
-                             "default: the model's training width only")
+                        help="comma-separated widths (e.g. 512,1024,2048), "
+                             "each a multiple of the stem's width stride "
+                             "(patch_size[0], default 4; off-multiples are "
+                             "rounded up); default: the training width only")
     args = parser.parse_args()
     cfg = args_to_config(args)
 
@@ -86,6 +88,16 @@ def main() -> None:
     if args.width_buckets:
         from htr_vt_tpu.data.image import assign_width_buckets, natural_line_width
         req = [int(x) for x in args.width_buckets.split(",") if x.strip()]
+        # The stem collapses width by patch_size[0] (two (2,2) stages);
+        # off-multiple widths would fail deep inside the model with an
+        # opaque reshape error — round them up here instead.
+        mult = cfg.model.patch_size[0]
+        fixed = [-(-w // mult) * mult for w in req]
+        for w, fw in zip(req, fixed):
+            if w != fw:
+                print(f"width bucket {w} rounded up to {fw} "
+                      f"(widths must be multiples of {mult})")
+        req = fixed
         widths = [natural_line_width(p, h) for p in paths]
         buckets, owner = assign_width_buckets(widths, req)
     else:

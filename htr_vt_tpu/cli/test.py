@@ -30,6 +30,9 @@ def main() -> None:
                         help="checkpoint dir (rolling, best_CER/best_WER, or run dir)")
     parser.add_argument("--split", type=str, default="test", choices=["val", "test"])
     parser.add_argument("--predictions-out", type=str, default=None)
+    parser.add_argument("--calib-batches", type=int, default=4,
+                        help="batches used to calibrate int8 activation "
+                             "scales (running abs-max); --quant int8 only")
     args = parser.parse_args()
     cfg = args_to_config(args)
 
@@ -52,16 +55,21 @@ def main() -> None:
     mesh = make_mesh(cfg.parallel)
     extra = None
     if cfg.model.quant == "int8":
-        # Calibrate static activation scales on one validation batch (float
-        # forward recording abs-max); without this the dynamic path still
-        # works but forgoes the fused-quantize speed.
-        calib, _, _ = next(iter(eval_batches(eval_ds, converter,
-                                             cfg.data.val_bs, max_label_len)))
-        _, mut = model.apply(
-            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
-            jax.numpy.asarray(calib["image"]), train=False,
-            mutable=["quant_stats"])
-        extra = {"quant_stats": mut["quant_stats"]}
+        # Calibrate static activation scales over several batches (running
+        # abs-max across calls — a single batch can under-estimate the scale
+        # and silently clip later activations); without this the dynamic
+        # path still works but forgoes the fused-quantize speed.
+        calib_fn = jax.jit(lambda img, stats: model.apply(
+            {"params": state.ema_params, "batch_stats": state.ema_batch_stats,
+             **({"quant_stats": stats} if stats else {})},
+            img, train=False, mutable=["quant_stats"])[1]["quant_stats"])
+        stats = {}
+        for bi, (calib, _, _) in enumerate(
+                eval_batches(eval_ds, converter, cfg.data.val_bs, max_label_len)):
+            if bi >= max(1, args.calib_batches):
+                break
+            stats = calib_fn(jax.numpy.asarray(calib["image"]), stats)
+        extra = {"quant_stats": stats}
     eval_fn = jit_eval_step(model, cfg, extra_vars=extra)
     loss, cer, wer, preds, labels = validate(
         eval_fn, state.ema_params, state.ema_batch_stats,

@@ -10,7 +10,6 @@ batches resident on device with the right sharding.
 
 from __future__ import annotations
 
-import queue
 import threading
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
@@ -100,101 +99,149 @@ def choose_max_label_len(labels: Sequence[str], num_frames: int = 128,
     return max(multiple, min(padded, num_frames))
 
 
-class _EpochSampler:
-    """Shared epoch-shuffled index stream (reference semantics: torch
-    DataLoader(shuffle=True) cycled by cycle_data, data/dataset.py:169-172 —
-    every sample appears exactly once per epoch, reshuffled each epoch).
+def epoch_permutation(n: int, seed: int, epoch: int) -> np.ndarray:
+    """The shuffle of epoch ``epoch``: a pure function of (seed, epoch)."""
+    return np.random.default_rng(
+        np.random.SeedSequence([seed, epoch])).permutation(n)
 
-    Fixed-shape batching requires full batches, so a batch may straddle the
-    epoch boundary (the reference's last partial batch is instead smaller);
-    the exactly-once-per-epoch guarantee is preserved.
+
+def batch_sample_ids(n: int, b: int, seed: int, sampling: str,
+                     global_bs: int, shard_offset: int, shard_bs: int,
+                     perm_cache: Optional[dict] = None) -> np.ndarray:
+    """Dataset indices of (this shard's slice of) global batch ``b``.
+
+    A pure function of (seed, b): sampling="epoch" walks epoch-shuffled
+    permutations (reference DataLoader(shuffle=True) + cycle_data,
+    data/dataset.py:169-172 — every sample exactly once per epoch, batches
+    may straddle epoch boundaries); "iid" draws the batch i.i.d. Shards
+    take contiguous row ranges of the global batch, so P processes'
+    slices concatenate to the exact 1-process stream.
     """
-
-    def __init__(self, n: int, seed: int):
-        self._n = n
-        self._rng = np.random.default_rng(seed)
-        self._perm = self._rng.permutation(n)
-        self._pos = 0
-        self._lock = threading.Lock()
-
-    def next_batch(self, batch_size: int) -> np.ndarray:
-        with self._lock:
-            out = []
-            got = 0
-            while got < batch_size:
-                take = min(batch_size - got, self._n - self._pos)
-                out.append(self._perm[self._pos:self._pos + take])
-                got += take
-                self._pos += take
-                if self._pos == self._n:
-                    self._perm = self._rng.permutation(self._n)
-                    self._pos = 0
-            return np.concatenate(out)
+    if sampling == "iid":
+        rng = np.random.default_rng(np.random.SeedSequence([seed, b, 1]))
+        ids = rng.choice(n, size=global_bs, replace=n < global_bs)
+        return ids[shard_offset:shard_offset + shard_bs]
+    g = b * global_bs + shard_offset + np.arange(shard_bs)
+    epochs, pos = g // n, g % n
+    out = np.empty(shard_bs, np.int64)
+    for e in np.unique(epochs):
+        if perm_cache is not None and e in perm_cache:
+            perm = perm_cache[e]
+        else:
+            perm = epoch_permutation(n, seed, int(e))
+            if perm_cache is not None:
+                if len(perm_cache) > 4:
+                    perm_cache.pop(min(perm_cache))
+                perm_cache[int(e)] = perm
+        m = epochs == e
+        out[m] = perm[pos[m]]
+    return out
 
 
 class TrainLoader:
     """Infinite shuffled loader with background batch construction.
 
+    DETERMINISTIC BY CONSTRUCTION: batch ``b`` (contents, augmentation draws
+    and emission order) is a pure function of (seed, b, shard_rank) —
+    workers claim batch indices and a reordering buffer emits them in
+    order, so thread scheduling cannot perturb the stream. Consequences:
+    - runs are reproducible;
+    - stream-exact resume is just ``start_batch=steps_done`` (the reference
+      serializes four RNG states and still cannot restore the mid-epoch
+      DataLoader position, model_v1/utils/utils.py:253-268);
+    - multi-host data sharding is ``shard_rank/shard_count``: each process
+      builds rows [rank*bs, (rank+1)*bs) of every global batch, and the
+      per-process streams concatenate to the exact single-process stream.
+
     sampling="epoch" (default) follows the reference's epoch-shuffled
-    DataLoader; sampling="iid" draws each batch i.i.d. per worker (items may
-    repeat across adjacent batches, no per-epoch guarantee — cheaper
-    coordination, statistically equivalent for 100k-iteration training).
+    DataLoader; "iid" draws each batch i.i.d. (statistically equivalent for
+    100k-iteration training).
     """
 
     def __init__(self, dataset, converter: CTCLabelConverter, batch_size: int,
                  max_label_len: int, augment: Optional[AugmentConfig] = None,
                  seed: int = 0, num_threads: int = 4, prefetch: int = 4,
-                 extras_fn=None, sampling: str = "epoch"):
+                 extras_fn=None, sampling: str = "epoch", start_batch: int = 0,
+                 shard_rank: int = 0, shard_count: int = 1):
         self.dataset = dataset
         self.converter = converter
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # per-shard rows of the global batch
         self.max_label_len = max_label_len
         self.augment = augment
         self.extras_fn = extras_fn
         if sampling not in ("epoch", "iid"):
             raise ValueError(f"sampling must be 'epoch' or 'iid', got {sampling!r}")
-        self._sampler = (_EpochSampler(len(dataset), seed)
-                         if sampling == "epoch" else None)
-        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        self._stop = threading.Event()
+        self.sampling = sampling
         self._seed = seed
-        self._threads = [
-            threading.Thread(target=self._worker, args=(w, num_threads), daemon=True)
-            for w in range(num_threads)]
+        self.shard_rank, self.shard_count = shard_rank, shard_count
+        self._global_bs = batch_size * shard_count
+        self._next_emit = start_batch   # next batch index handed to consumer
+        self._next_claim = start_batch  # next batch index a worker builds
+        self._window = max(prefetch, 2) + num_threads
+        self._buf: Dict[int, Dict[str, np.ndarray]] = {}
+        self._cv = threading.Condition()
+        self._stop = threading.Event()
+        self._threads = [threading.Thread(target=self._worker, daemon=True)
+                         for _ in range(num_threads)]
         for t in self._threads:
             t.start()
 
-    def _worker(self, worker_id: int, num_workers: int) -> None:
-        rng = np.random.default_rng(self._seed * 1000 + worker_id)
-        n = len(self.dataset)
-        while not self._stop.is_set():
-            if self._sampler is not None:
-                idx = self._sampler.next_batch(self.batch_size)
-            else:
-                idx = rng.choice(n, size=self.batch_size, replace=n < self.batch_size)
-            images, texts = [], []
-            for i in idx:
-                im, tx = self.dataset[int(i)]
-                images.append(im)
-                texts.append(tx)
-            batch = collate(images, texts, self.converter, self.max_label_len,
-                            self.augment, rng, self.extras_fn)
-            while not self._stop.is_set():
-                try:
-                    self._queue.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+    @property
+    def next_batch_index(self) -> int:
+        """Batches emitted so far + start_batch — the complete resume state."""
+        return self._next_emit
+
+    def _build(self, b: int, perm_cache: dict) -> Dict[str, np.ndarray]:
+        idx = batch_sample_ids(len(self.dataset), b, self._seed, self.sampling,
+                               self._global_bs,
+                               self.shard_rank * self.batch_size,
+                               self.batch_size, perm_cache)
+        images, texts = [], []
+        for i in idx:
+            im, tx = self.dataset[int(i)]
+            images.append(im)
+            texts.append(tx)
+        # per-batch augment stream: resume-exact and shard-independent
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self._seed, b, self.shard_rank, 2]))
+        return collate(images, texts, self.converter, self.max_label_len,
+                       self.augment, rng, self.extras_fn)
+
+    def _worker(self) -> None:
+        perm_cache: dict = {}
+        while True:
+            with self._cv:
+                while (not self._stop.is_set()
+                       and self._next_claim >= self._next_emit + self._window):
+                    self._cv.wait(0.2)
+                if self._stop.is_set():
+                    return
+                b = self._next_claim
+                self._next_claim += 1
+            batch = self._build(b, perm_cache)
+            with self._cv:
+                self._buf[b] = batch
+                self._cv.notify_all()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
-            yield self._queue.get()
+            yield next(self)
 
     def __next__(self) -> Dict[str, np.ndarray]:
-        return self._queue.get()
+        with self._cv:
+            while self._next_emit not in self._buf:
+                if self._stop.is_set():
+                    raise StopIteration
+                self._cv.wait(0.2)
+            batch = self._buf.pop(self._next_emit)
+            self._next_emit += 1
+            self._cv.notify_all()
+        return batch
 
     def close(self) -> None:
         self._stop.set()
+        with self._cv:
+            self._cv.notify_all()
 
 
 def eval_batches(dataset, converter: CTCLabelConverter, batch_size: int,

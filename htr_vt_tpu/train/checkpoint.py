@@ -4,9 +4,13 @@ Reference layout (model_v1/train.py:148-211): per-eval rolling
 ``checkpoint_{cer:.4f}_{wer:.4f}_{iter}`` plus ``best_CER`` / ``best_WER``
 copies, each carrying model + EMA + optimizer + iteration + metrics + RNG
 state. Here one Orbax save of the TrainState pytree covers model/EMA/optimizer
-and the *exact* JAX PRNG key (the reference restores four RNG streams for
-bit-reproducible continuation; device-side randomness here is the single key
-inside TrainState, and host augmentation seeds are recorded in metadata).
+and the *exact* JAX PRNG key. Host-side randomness needs no serialized state
+at all: the loader's batch b is a pure function of (seed, b)
+(data/loader.py), so restoring ``step`` resumes the exact data/augmentation
+stream — stronger than the reference's four saved RNG streams, which cannot
+restore the mid-epoch DataLoader position (model_v1/utils/utils.py:253-268).
+"train N" == "train k, resume, train N-k" is pinned bit-exactly by
+tests/test_train_loop.py::test_resume_is_stream_and_trajectory_exact.
 """
 
 from __future__ import annotations
@@ -100,12 +104,22 @@ class CheckpointManager:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(template))
         try:
             state = self._ckptr.restore(os.path.join(path, "state"), abstract)
-        except Exception:
+        except Exception as e:
             # The eval template may be a strict SUBTREE of the training
             # state — e.g. an SGM-trained checkpoint (params.sgm_head is a
             # training-only head, model_sgm_2/train.py:144-158) evaluated by
-            # cli/test without the SGM batch. Restore just the overlapping
-            # leaves; anything missing from the CHECKPOINT still errors.
+            # cli/test without the SGM batch. Only a structure mismatch
+            # justifies retrying with partial_restore; anything else
+            # (corruption, IO) re-raises with the original cause.
+            msg = str(e)
+            if not any(s in msg for s in ("structure", "user-provided", "tree",
+                                          "KeyError", "not found in")):
+                raise
+            import logging
+            logging.getLogger("htr_vt_tpu").info(
+                "strict restore failed (%s: %.120s); retrying with "
+                "partial_restore for a template-subtree match",
+                type(e).__name__, msg)
             with ocp.PyTreeCheckpointer() as ck:
                 state = ck.restore(
                     os.path.join(path, "state"),

@@ -126,10 +126,16 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
         logger.info("resumed at step %d (best CER %.4f WER %.4f)",
                     start_step, best_cer, best_wer)
 
+    # start_batch=start_step makes resume STREAM-EXACT: the loader's batch b
+    # is a pure function of (seed, b), and exactly one batch is consumed per
+    # step, so "train N" == "train k, resume, train N-k" batch-for-batch
+    # (tests/test_train_loop.py pins the equivalence). The reference saves
+    # four RNG streams but cannot restore mid-epoch DataLoader position
+    # (model_v1/utils/utils.py:253-268).
     loader = TrainLoader(train_ds, converter, cfg.data.train_bs, max_label_len,
                          augment=cfg.data.augment, seed=cfg.train.seed,
                          num_threads=cfg.data.num_workers, extras_fn=sgm_extras_fn,
-                         sampling=cfg.data.sampling)
+                         sampling=cfg.data.sampling, start_batch=start_step)
     batches = device_prefetch(iter(loader), bsh)
 
     train_fn = jit_train_step(model, cfg, donate=cfg.train.donate_state)

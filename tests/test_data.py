@@ -112,20 +112,69 @@ def test_degenerate_narrow_image():
     assert out.shape == (64, 512, 1)
 
 
-def test_epoch_sampler_exactly_once_per_epoch():
+def test_epoch_sampling_exactly_once_per_epoch():
     """Epoch-shuffled sampling: every index appears exactly once per epoch,
     reshuffled across epochs (reference DataLoader(shuffle=True) + cycle_data,
     data/dataset.py:169-172)."""
-    from htr_vt_tpu.data.loader import _EpochSampler
+    from htr_vt_tpu.data.loader import batch_sample_ids
 
     n, bs = 10, 4
-    s = _EpochSampler(n, seed=3)
-    drawn = np.concatenate([s.next_batch(bs) for _ in range(10)])  # 4 epochs
+    drawn = np.concatenate([
+        batch_sample_ids(n, b, seed=3, sampling="epoch", global_bs=bs,
+                         shard_offset=0, shard_bs=bs) for b in range(10)])
     for e in range(4):
         epoch = np.sort(drawn[e * n:(e + 1) * n])
         np.testing.assert_array_equal(epoch, np.arange(n))
     # epochs are reshuffled, not repeated in the same order
     assert not np.array_equal(drawn[:n], drawn[n:2 * n])
+
+
+def test_batch_sampling_shards_concatenate_to_global_stream():
+    """P-process shards of every global batch concatenate to the exact
+    1-process stream (the multi-host data-sharding contract)."""
+    from htr_vt_tpu.data.loader import batch_sample_ids
+
+    n, gbs, p = 23, 8, 2
+    for sampling in ("epoch", "iid"):
+        for b in range(7):
+            full = batch_sample_ids(n, b, 5, sampling, gbs, 0, gbs)
+            parts = [batch_sample_ids(n, b, 5, sampling, gbs,
+                                      r * (gbs // p), gbs // p)
+                     for r in range(p)]
+            np.testing.assert_array_equal(full, np.concatenate(parts))
+
+
+def test_train_loader_deterministic_and_resumable():
+    """The emitted batch stream is a pure function of (seed, batch index):
+    identical across loader instances/thread counts, and a loader started at
+    start_batch=k continues the stream exactly (stream-exact resume)."""
+    cfg = DataConfig(dataset="SYNTH", synth_train_size=12, img_size=(64, 256))
+    ds = build_dataset(cfg, "train")
+    conv = make_converter(cfg, ds)
+
+    def take(loader, k):
+        try:
+            return [next(loader) for _ in range(k)]
+        finally:
+            loader.close()
+
+    a = take(TrainLoader(ds, conv, batch_size=4, max_label_len=32,
+                         augment=cfg.augment, seed=9, num_threads=3), 6)
+    b = take(TrainLoader(ds, conv, batch_size=4, max_label_len=32,
+                         augment=cfg.augment, seed=9, num_threads=1), 6)
+    c = take(TrainLoader(ds, conv, batch_size=4, max_label_len=32,
+                         augment=cfg.augment, seed=9, num_threads=2,
+                         start_batch=3), 3)
+    for x, y in zip(a, b):
+        for key in x:
+            np.testing.assert_array_equal(x[key], y[key])
+    for x, y in zip(a[3:], c):  # resumed stream == tail of the full stream
+        for key in x:
+            np.testing.assert_array_equal(x[key], y[key])
+    # different seed -> different stream
+    d = take(TrainLoader(ds, conv, batch_size=4, max_label_len=32,
+                         augment=cfg.augment, seed=10, num_threads=2), 1)
+    assert not np.array_equal(a[0]["image"], d[0]["image"])
 
 
 def test_train_loader_epoch_sampling_threadsafe():

@@ -74,3 +74,49 @@ def test_load_model_and_encoder_only(tmp_path):
     assert np.isfinite(result["best_cer"])
     log = open(os.path.join(str(tmp_path), "ft_run", "run.log")).read()
     assert "loaded encoder weights" in log
+
+
+def test_resume_is_stream_and_trajectory_exact(tmp_path):
+    """"train N" == "train k, resume, train N-k": identical final params AND
+    identical data stream (loader batch b is a pure function of (seed, b),
+    resume passes start_batch=step). Round-2 verdict item #6."""
+    import jax
+    import glob
+
+    N, K = 8, 4
+    cfg_full = tiny_experiment(tmp_path, exp_name="full_run", total=N)
+    fit(cfg_full)
+
+    # first half: same config (same LR schedule horizon), stop early at K
+    cfg_a = tiny_experiment(tmp_path, exp_name="split_run", total=N)
+    cfg_a = dataclasses.replace(cfg_a, train=dataclasses.replace(
+        cfg_a.train, total_iters=K, eval_iters=K))
+    fit(cfg_a)
+    ck = [p for p in glob.glob(os.path.join(str(tmp_path), "split_run",
+                                            "checkpoint_*"))
+          if json.load(open(os.path.join(p, "meta.json")))["step"] == K][0]
+    cfg_b = tiny_experiment(tmp_path, exp_name="split_run", total=N, resume=ck)
+    fit(cfg_b)
+
+    from htr_vt_tpu.train.checkpoint import CheckpointManager
+    from htr_vt_tpu.models.htr_vt import build_model
+    from htr_vt_tpu.train.state import create_train_state
+
+    def final_state(exp):
+        run = os.path.join(str(tmp_path), exp)
+        cks = glob.glob(os.path.join(run, "checkpoint_*"))
+        ck = [p for p in cks
+              if json.load(open(os.path.join(p, "meta.json")))["step"] == N][0]
+        cfg = tiny_experiment(tmp_path, exp_name=exp, total=N)
+        model = build_model(cfg.model)
+        sample = np.zeros((cfg.data.train_bs, *cfg.model.img_size, 1), np.float32)
+        template = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+        state, _ = CheckpointManager(run).restore(ck, template)
+        return state
+
+    s_full, s_split = final_state("full_run"), final_state("split_run")
+    for a, b in zip(jax.tree.leaves(s_full.params), jax.tree.leaves(s_split.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(s_full.ema_params),
+                    jax.tree.leaves(s_split.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)

@@ -32,7 +32,10 @@ def main() -> None:
     from htr_vt_tpu.train.state import create_train_state
 
     cfg = ExperimentConfig(model=ModelConfig(
-        nb_cls=80, quant=os.environ.get("HTRVT_QUANT", "none")),
+        nb_cls=80, quant=os.environ.get("HTRVT_QUANT", "none"),
+        quant_gelu=os.environ.get("HTRVT_QUANT_GELU", "quick"),
+        pool_impl=os.environ.get("HTRVT_POOL_IMPL", "auto"),
+        conv_impl=os.environ.get("HTRVT_CONV_IMPL", "auto")),
         optim=OptimConfig())
     batch_size = int(os.environ.get("HTRVT_BS", "128"))
     model = HTRVT(cfg.model)
