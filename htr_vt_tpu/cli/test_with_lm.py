@@ -35,7 +35,12 @@ from htr_vt_tpu.train.step import jit_eval_step
 def main() -> None:
     parser = build_parser("htr_vt_tpu LM-rescored evaluator")
     parser.add_argument("--checkpoint", type=str, required=True)
-    parser.add_argument("--arpa", type=str, required=True, help="ARPA LM file")
+    parser.add_argument("--arpa", type=str, required=True,
+                        help="n-gram LM in ARPA TEXT format (train one with "
+                             "decode/lm_train.py, or kenlm's lmplz -o N). "
+                             "kenlm's compiled .binary/.klm files are NOT "
+                             "supported — convert with kenlm's "
+                             "`build_binary -? / dump` or re-export ARPA")
     parser.add_argument("--beam-width", type=int, default=5)
     parser.add_argument("--lm-weight", type=float, default=1.0)
     parser.add_argument("--ctc-weight", type=float, default=0.0)

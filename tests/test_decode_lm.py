@@ -250,3 +250,111 @@ def test_prefix_beam_batch_lm_fused(tmp_path):
                                  lm_score=lm_cb, lm_weight=0.7)
         assert got[i][0][0] == ref[0][0], i
         assert abs(got[i][0][1] - ref[0][1]) < 1e-6
+
+
+# --- golden scores ---------------------------------------------------------
+# Hand-derived from the ARPA/Katz-backoff specification (the math kenlm
+# implements; kenlm itself is not importable in this zero-egress image, so
+# the goldens are written as explicit sums over the ARPA entries below —
+# independently checkable against the spec). Covers: highest-order hit,
+# single and CHAINED backoff (both context backoff weights apply), missing
+# backoff weight (=0), <unk>, and OOV context.
+GOLDEN_ARPA = """
+\\data\\
+ngram 1=6
+ngram 2=5
+ngram 3=3
+
+\\1-grams:
+-1.1\t<s>\t-0.4
+-1.3\t</s>
+-0.7\tthe\t-0.25
+-0.9\tcat\t-0.35
+-1.4\tsat\t-0.15
+-2.5\t<unk>
+
+\\2-grams:
+-0.30\t<s> the\t-0.10
+-0.45\tthe cat\t-0.20
+-0.60\tcat sat\t-0.05
+-0.50\tsat </s>
+-0.80\tthe sat
+
+\\3-grams:
+-0.20\t<s> the cat
+-0.35\tthe cat sat
+-0.40\tcat sat </s>
+
+\\end\\
+"""
+
+
+@pytest.fixture(scope="module")
+def golden_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("lmg") / "golden.arpa"
+    p.write_text(GOLDEN_ARPA)
+    return str(p)
+
+
+GOLDEN_CASES = [
+    # "the cat sat": all trigram hits + trigram for </s>
+    # p(the|<s>)=-0.30 (bigram; 3-gram "<s> ? the" n/a at order entry —
+    #   context is just <s>, so the bigram <s> the applies)
+    # p(cat|<s> the)=-0.20, p(sat|the cat)=-0.35, p(</s>|cat sat)=-0.40
+    ("the cat sat", -0.30 + -0.20 + -0.35 + -0.40),
+    # "cat sat": p(cat|<s>) missing bigram -> bo(<s>)=-0.4 + p(cat)=-0.9
+    # p(sat|<s> cat): no trigram, no bigram "cat sat"? it EXISTS (-0.60):
+    #   fallback order: trigram "<s> cat sat" missing -> bo(<s> cat) missing
+    #   (no such bigram entry -> bo contribution 0 from that level, then
+    #   bigram "cat sat" hit) = -0.60
+    # p(</s>|cat sat) trigram = -0.40
+    ("cat sat", (-0.4 + -0.9) + -0.60 + -0.40),
+    # "the sat": p(the|<s>)=-0.30; p(sat|<s> the): trigram "<s> the sat"
+    #   missing -> bo("<s> the")=-0.10 + bigram "the sat"=-0.80;
+    # p(</s>|the sat): trigram missing -> bo("the sat") missing(no entry->0)
+    #   -> bigram "sat </s>"=-0.50
+    ("the sat", -0.30 + (-0.10 + -0.80) + -0.50),
+    # chained backoff: "sat the": p(sat|<s>): no bigram -> bo(<s>)=-0.4 +
+    #   p(sat)=-1.4; p(the|<s> sat): no trigram -> bo("<s> sat")=0 (missing)
+    #   -> no bigram "sat the" -> bo("sat")=-0.15 + p(the)=-0.7;
+    # p(</s>|sat the): no trigram -> no bigram "the </s>" ->
+    #   bo("sat the")=0 + bo("the")=-0.25 + p(</s>)=-1.3
+    ("sat the", (-0.4 + -1.4) + (-0.15 + -0.7) + (-0.25 + -1.3)),
+    # OOV: "zebra": p(<unk>)=-2.5 (kenlm maps OOV to <unk>'s unigram);
+    # p(</s>|<s> zebra): contexts containing the OOV word never match ->
+    #   backoff to p(</s>) with bo(zebra) absent = -1.3
+    ("zebra", -2.5 + -1.3),
+    # empty sentence: p(</s>|<s>): no bigram "<s> </s>" -> bo(<s>)=-0.4 +
+    #   p(</s>)=-1.3
+    ("", -0.4 + -1.3),
+]
+
+
+def test_golden_scores_native_and_python(golden_path):
+    from htr_vt_tpu.native.build import load_native
+    scorers = [("python", _PythonArpa(golden_path))]
+    if load_native() is not None:
+        scorers.append(("native", NgramScorer(golden_path)))
+    for name, sc in scorers:
+        for sent, want in GOLDEN_CASES:
+            got = sc.score(sent)
+            assert abs(got - want) < 1e-5, (name, sent, got, want)
+
+
+def test_golden_scores_indexed_path(golden_path):
+    """The id-indexed batch scorer reproduces the goldens word by word."""
+    scorer = NgramScorer(golden_path)
+    vocab = ["the", "cat", "sat", "zebra"]
+    idx = scorer.indexed(vocab)
+    wid = {w: i for i, w in enumerate(vocab)}
+    for sent, want in GOLDEN_CASES:
+        words = sent.split()
+        ids = [wid[w] for w in words] + [idx.eos_id]
+        ctxs, total_ctx = [], [idx.bos_id]
+        for w in ids:
+            c = ([-1] * 10 + total_ctx)[-(max(scorer.order - 1, 1)):]
+            ctxs.append(c)
+            total_ctx.append(w)
+        got = idx.cond_batch(np.array(ctxs, np.int32),
+                             np.array(ids, np.int32)).sum()
+        assert abs(got - want) < 1e-5, (sent, got, want)
