@@ -50,7 +50,7 @@ def main() -> None:
                           pool_impl=os.environ.get("HTRVT_POOL_IMPL", "auto")),
         optim=OptimConfig(),
     )
-    batch_size = 128
+    batch_size = int(os.environ.get("HTRVT_BS", "128"))
     model = HTRVT(cfg.model)
     mesh = make_mesh()
     bsh = batch_sharding(mesh)
