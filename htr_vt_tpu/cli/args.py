@@ -95,6 +95,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--test-data-list", type=str, default=None)
     p.add_argument("--data-path", type=str, default=None)
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--synth-train-size", type=int, default=None,
+                   help="SYNTH dataset: number of generated train lines")
+    p.add_argument("--synth-eval-size", type=int, default=None,
+                   help="SYNTH dataset: number of generated val/test lines")
     p.add_argument("--proj", type=float, default=8)
     p.add_argument("--dila-ero-max-kernel", type=int, default=3)
     p.add_argument("--dila-ero-iter", type=int, default=1)
@@ -123,6 +127,14 @@ def build_parser(description: str) -> argparse.ArgumentParser:
 
 
 def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
+    # Every CLI funnels through here; enable the persistent compilation cache
+    # so restarted runs (and the flaky axon remote-compile service) reuse
+    # compiled programs instead of paying the 3-20 min TPU compile again.
+    import jax
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/htrvt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     cfg = dataset_preset(args.dataset)
     w, h = (args.img_size + [64])[:2] if len(args.img_size) >= 2 else (512, 64)
     img_size = (h, w)  # reference passes [W, H] on the CLI
@@ -163,7 +175,9 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
                        jitter_contrast=args.jitter_contrast,
                        proba=args.proba))
     for flag, field in [("train_data_list", "train_list"), ("val_data_list", "val_list"),
-                        ("test_data_list", "test_list"), ("data_path", "data_path")]:
+                        ("test_data_list", "test_list"), ("data_path", "data_path"),
+                        ("synth_train_size", "synth_train_size"),
+                        ("synth_eval_size", "synth_eval_size")]:
         v = getattr(args, flag)
         if v is not None:
             data_kw[field] = v

@@ -18,9 +18,12 @@ _FONTS = (cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_COMPLEX,
 
 
 def render_line(text: str, height: int = 64, width: int = 512,
-                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+                rng: Optional[np.random.Generator] = None,
+                return_drawn: bool = False):
     """Render ``text`` onto a white uint8 [height, width] canvas with random
-    font/slant/thickness/baseline wobble."""
+    font/slant/thickness/baseline wobble. With ``return_drawn`` also returns
+    how many characters actually landed on the canvas (rendering stops at the
+    right edge), so callers can trim labels to the visible text."""
     rng = rng or np.random.default_rng(abs(hash(text)) % (2**31))
     canvas = np.full((height, width), 255, np.uint8)
     font = _FONTS[int(rng.integers(0, len(_FONTS)))]
@@ -28,16 +31,21 @@ def render_line(text: str, height: int = 64, width: int = 512,
     thickness = int(rng.integers(1, 3))
     x = int(rng.integers(2, 8))
     base_y = int(height * 0.68)
+    drawn = 0
     for ch in text:
         if ch == " ":
             x += int(12 * scale)
+            drawn += 1
             continue
         y = base_y + int(rng.integers(-3, 4))
         cv2.putText(canvas, ch, (x, y), font, scale, 0, thickness, cv2.LINE_AA)
         (w, _), _ = cv2.getTextSize(ch, font, scale, thickness)
         x += w + int(rng.integers(-2, 3))
+        drawn += 1
         if x >= width - 10:
             break
+    if return_drawn:
+        return canvas, drawn
     return canvas
 
 
@@ -54,14 +62,27 @@ class SyntheticLineDataset:
     with the same base glyphs (augmentation randomness stays in the loader)."""
 
     def __init__(self, size: int, alphabet: str = "abcdefghijklmnopqrstuvwxyz '",
-                 seed: int = 0, height: int = 64, width: int = 512):
+                 seed: int = 0, height: int = 64, width: int = 512,
+                 min_len: int = 4, max_len: int = 28,
+                 trim_to_canvas: bool = False):
         rng = np.random.default_rng(seed)
         # strip() in random_text means leading/trailing spaces vanish; keep
         # alphabet order stable for the codec.
         self.alphabet = sorted(set(alphabet))
         self.height, self.width = height, width
-        self.labels: List[str] = [random_text(rng, alphabet) for _ in range(size)]
+        self.labels: List[str] = [random_text(rng, alphabet, min_len, max_len)
+                                  for _ in range(size)]
         self._seeds = rng.integers(0, 2**31, size=size)
+        if trim_to_canvas:
+            # Long texts can hit the right edge mid-string (render_line stops
+            # there); trim each label to the characters that actually render
+            # so image and label agree. Used by the multi-width recipe where
+            # texts are sized for wide canvases (tools/train_multiwidth.py).
+            for i in range(size):
+                r = np.random.default_rng(int(self._seeds[i]))
+                _, drawn = render_line(self.labels[i], height, width, r,
+                                       return_drawn=True)
+                self.labels[i] = self.labels[i][:drawn].strip() or self.labels[i][:1]
 
     def __len__(self) -> int:
         return len(self.labels)
