@@ -268,16 +268,17 @@ def eval_batches(dataset, converter: CTCLabelConverter, batch_size: int,
 def device_prefetch(it: Iterator[Dict[str, np.ndarray]], sharding,
                     depth: int = 2) -> Iterator[Dict]:
     """Move batches onto the mesh ahead of consumption (double-buffering the
-    host->HBM copy behind the running step)."""
+    host->HBM copy behind the running step). Multi-process: each process's
+    local rows are assembled into the global array (parallel/mesh.py)."""
     import collections
-    import jax
+
+    from htr_vt_tpu.parallel.mesh import put_global_batch
     buf = collections.deque()
     it = iter(it)
     try:
         while True:
             while len(buf) < depth:
-                host = next(it)
-                buf.append({k: jax.device_put(v, sharding) for k, v in host.items()})
+                buf.append(put_global_batch(next(it), sharding))
             yield buf.popleft()
     except StopIteration:
         while buf:

@@ -23,16 +23,33 @@ def validate(eval_fn, params, batch_stats, batches, converter: CTCLabelConverter
              sharding=None) -> Tuple[float, float, float, List[str], List[str]]:
     """eval_fn: jitted (params, batch_stats, batch) -> {pred_ids, loss}.
     batches: iterator of (batch, num_valid, texts) from data.loader.eval_batches.
+
+    Multi-host: every process iterates the same (host-built) global batches,
+    contributes its row slice to the globally sharded eval call, and
+    allgathers the tiny pred_ids array back — so CER/WER (and therefore the
+    train loop's best-metric decisions) are identical on every process.
     """
+    nproc = jax.process_count()
     metrics = RecognitionMetrics()
     total_loss, count = 0.0, 0
     all_preds: List[str] = []
     all_labels: List[str] = []
     for batch, valid, texts in batches:
         if sharding is not None:
-            batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
+            if nproc > 1:
+                rank = jax.process_index()
+                batch = {k: jax.make_array_from_process_local_data(
+                    sharding, v[rank * (v.shape[0] // nproc):
+                                (rank + 1) * (v.shape[0] // nproc)])
+                    for k, v in batch.items()}
+            else:
+                batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
         out = eval_fn(params, batch_stats, batch)
-        pred_ids = np.asarray(out["pred_ids"])[:valid]
+        pred_ids = out["pred_ids"]
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+            pred_ids = multihost_utils.process_allgather(pred_ids, tiled=True)
+        pred_ids = np.asarray(pred_ids)[:valid]
         preds = converter.decode_batch(pred_ids)
         metrics.update(preds, texts)
         total_loss += float(out["loss"])

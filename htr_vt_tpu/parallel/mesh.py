@@ -31,13 +31,19 @@ from htr_vt_tpu.config import ParallelConfig
 
 def maybe_initialize_distributed() -> None:
     """Initialize multi-process JAX when env vars indicate a multi-host launch
-    (no-op for single-process; the reference has no equivalent — §2.8)."""
-    if os.environ.get("HTRVT_COORDINATOR"):
-        jax.distributed.initialize(
-            coordinator_address=os.environ["HTRVT_COORDINATOR"],
-            num_processes=int(os.environ.get("HTRVT_NUM_PROCESSES", "1")),
-            process_id=int(os.environ.get("HTRVT_PROCESS_ID", "0")),
-        )
+    (no-op for single-process; the reference has no equivalent — §2.8).
+    Idempotent: callers may initialize earlier themselves (e.g. to override
+    jax_platforms first) and still run fit()."""
+    if not os.environ.get("HTRVT_COORDINATOR"):
+        return
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized
+    jax.distributed.initialize(
+        coordinator_address=os.environ["HTRVT_COORDINATOR"],
+        num_processes=int(os.environ.get("HTRVT_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("HTRVT_PROCESS_ID", "0")),
+    )
 
 
 def make_mesh(cfg: ParallelConfig = ParallelConfig(),
@@ -56,6 +62,22 @@ def make_mesh(cfg: ParallelConfig = ParallelConfig(),
 def batch_sharding(mesh: Mesh, cfg: ParallelConfig = ParallelConfig()) -> NamedSharding:
     """Leading-axis batch sharding for images/labels."""
     return NamedSharding(mesh, P(cfg.data_axis))
+
+
+def put_global_batch(batch: dict, sharding: NamedSharding) -> dict:
+    """Host batch dict -> batch-sharded global jax.Arrays.
+
+    Single-process: a plain device_put of the full batch. Multi-process:
+    each process contributes ITS OWN rows of the global batch via
+    ``jax.make_array_from_process_local_data`` — the loader's
+    shard_rank/shard_count slicing (data/loader.py) matches the mesh's
+    device order (jax.devices() orders by process), so process p's rows
+    land on process p's devices with zero cross-host traffic.
+    """
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    return {k: jax.make_array_from_process_local_data(sharding, v)
+            for k, v in batch.items()}
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -55,25 +55,38 @@ class CheckpointManager:
     # -- save -------------------------------------------------------------
     def save(self, state: TrainState, *, cer: float, wer: float,
              best_cer: float, best_wer: float, meta: Optional[Dict] = None) -> str:
+        """Multi-host contract: EVERY process calls save() in lockstep (Orbax
+        coordinates internally and only the primary host writes array data —
+        gating the call to rank 0 deadlocks its _Checkpointer:save barriers).
+        The file-level extras (meta.json, best_CER/best_WER copies, rolling
+        cleanup) are rank-0-only inside."""
         step = int(state.step)
         name = self._rolling_name(cer, wer, step)
         path = os.path.join(self.save_dir, name)
         self._save_state(path, state, step=step, cer=cer, wer=wer,
                          best_cer=best_cer, best_wer=best_wer, meta=meta)
-        # best_CER / best_WER copies (cheap local copytree; reference saves
-        # full duplicates too, train.py:173-211).
-        if cer <= best_cer:
-            self._copy(path, os.path.join(self.save_dir, "best_CER"))
-        if wer <= best_wer:
-            self._copy(path, os.path.join(self.save_dir, "best_WER"))
-        self._cleanup()
+        if jax.process_index() == 0:
+            # best_CER / best_WER copies (cheap local copytree; reference
+            # saves full duplicates too, train.py:173-211).
+            if cer <= best_cer:
+                self._copy(path, os.path.join(self.save_dir, "best_CER"))
+            if wer <= best_wer:
+                self._copy(path, os.path.join(self.save_dir, "best_WER"))
+            self._cleanup()
         return path
 
     def _save_state(self, path: str, state: TrainState, **meta_kw) -> None:
-        if os.path.exists(path):
+        is_main = jax.process_index() == 0
+        if is_main and os.path.exists(path):
             shutil.rmtree(path)
+        if jax.process_count() > 1:
+            # the rmtree must land before any rank's Orbax writer enters
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("htrvt_ckpt_clear")
         self._ckptr.save(os.path.join(path, "state"), jax.device_get(state))
         self._ckptr.wait_until_finished()
+        if not is_main:
+            return
         meta = dict(meta_kw.pop("meta", None) or {})
         meta.update({k: v for k, v in meta_kw.items() if v is not None})
         with open(os.path.join(path, "meta.json"), "w") as f:

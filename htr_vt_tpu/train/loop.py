@@ -29,12 +29,28 @@ from htr_vt_tpu.utils.logging import ScalarWriter, StepTimer, get_logger, maybe_
 
 
 def fit(cfg: ExperimentConfig) -> Dict[str, float]:
-    """Run training to cfg.train.total_iters. Returns final best metrics."""
+    """Run training to cfg.train.total_iters. Returns final best metrics.
+
+    Multi-host aware: under a multi-process runtime (HTRVT_COORDINATOR), every
+    process runs this same function — each loads its shard of every global
+    batch (cfg.data.train_bs is the GLOBAL batch size), collectives ride the
+    jitted step, and process 0 alone owns run.log/metrics.jsonl/TB/wandb and
+    Orbax saves. Best-metric decisions are identical everywhere because eval
+    allgathers predictions (eval/validate.py). Assumes ranks share the run
+    directory (one machine or a shared filesystem) for resume.
+    """
     maybe_initialize_distributed()
+    rank, nproc = jax.process_index(), jax.process_count()
+    is_main = rank == 0
     save_dir = os.path.join(cfg.train.out_dir, cfg.train.exp_name)
     os.makedirs(save_dir, exist_ok=True)
-    logger = get_logger(save_dir)
-    logger.info(json.dumps(config_to_dict(cfg), indent=2, sort_keys=True, default=str))
+    logger = get_logger(save_dir, write_file=is_main)
+    if is_main:
+        logger.info(json.dumps(config_to_dict(cfg), indent=2, sort_keys=True,
+                               default=str))
+    if cfg.data.train_bs % nproc:
+        raise ValueError(f"global train_bs {cfg.data.train_bs} not divisible "
+                         f"by process count {nproc}")
 
     # ---- data ----
     train_ds = build_dataset(cfg.data, "train")
@@ -115,7 +131,12 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
     if resume == "auto":
         # Elastic restart convenience: pick up the latest rolling checkpoint
         # in the run directory if one exists (fresh start otherwise).
-        resume = ckpt.latest_path()
+        # Multi-host: rank 0 alone decides and broadcasts — ranks listing the
+        # directory independently can race rank 0's in-flight save and pick
+        # different steps, which deadlocks the collective schedules.
+        resume = ckpt.latest_path() if is_main else None
+        if nproc > 1:
+            resume = _broadcast_str(resume)
         if resume:
             logger.info("auto-resume found %s", resume)
     if resume:
@@ -132,10 +153,12 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
     # (tests/test_train_loop.py pins the equivalence). The reference saves
     # four RNG streams but cannot restore mid-epoch DataLoader position
     # (model_v1/utils/utils.py:253-268).
-    loader = TrainLoader(train_ds, converter, cfg.data.train_bs, max_label_len,
+    loader = TrainLoader(train_ds, converter, cfg.data.train_bs // nproc,
+                         max_label_len,
                          augment=cfg.data.augment, seed=cfg.train.seed,
                          num_threads=cfg.data.num_workers, extras_fn=sgm_extras_fn,
-                         sampling=cfg.data.sampling, start_batch=start_step)
+                         sampling=cfg.data.sampling, start_batch=start_step,
+                         shard_rank=rank, shard_count=nproc)
     batches = device_prefetch(iter(loader), bsh)
 
     train_fn = jit_train_step(model, cfg, donate=cfg.train.donate_state)
@@ -147,7 +170,8 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
         eval_fn = jit_eval_step(model, cfg)
         eval_codec = converter
     writer = ScalarWriter(save_dir, cfg.train.use_wandb, cfg.train.wandb_project,
-                          cfg.train.exp_name, config_to_dict(cfg))
+                          cfg.train.exp_name, config_to_dict(cfg),
+                          enabled=is_main)
     timer = StepTimer()
 
     train_loss, train_loss_count = 0.0, 0
@@ -171,6 +195,8 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
             # (detection latency = print_iters steps; the reference has none).
             bad = sum(not np.isfinite(v) for v in fetched)
             if cfg.train.max_nonfinite_steps > 0 and bad >= cfg.train.max_nonfinite_steps:
+                # losses are replicated: every rank reaches this branch, so
+                # the all-rank save contract (CheckpointManager.save) holds
                 ckpt.save(state, cer=999.0, wer=999.0, best_cer=best_cer,
                           best_wer=best_wer,
                           meta={"emergency": True, "config": config_to_dict(cfg)})
@@ -198,7 +224,11 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
                 eval_codec, sharding=bsh)
             improved_cer, improved_wer = cer < best_cer, wer < best_wer
             best_cer, best_wer = min(cer, best_cer), min(wer, best_wer)
-            ckpt.save(state, cer=cer, wer=wer, best_cer=best_cer, best_wer=best_wer,
+            # metrics are identical on every rank (validate allgathers
+            # predictions); all ranks enter save() in lockstep and Orbax +
+            # CheckpointManager write from rank 0 only
+            ckpt.save(state, cer=cer, wer=wer, best_cer=best_cer,
+                      best_wer=best_wer,
                       meta={"config": config_to_dict(cfg)})
             logger.info("Val. loss : %.3f \t CER : %.4f \t WER : %.4f%s%s",
                         val_loss, cer, wer,
@@ -209,4 +239,21 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
 
     loader.close()
     writer.close()
+    if nproc > 1:
+        # Exit barrier: no rank may leave (and e.g. auto-resume a follow-up
+        # run) while rank 0's final Orbax write is still in flight.
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("htrvt_fit_end")
     return {"best_cer": best_cer, "best_wer": best_wer}
+
+
+def _broadcast_str(s) -> "str | None":
+    """Broadcast rank 0's (possibly None) string to every process."""
+    from jax.experimental import multihost_utils
+    buf = np.zeros(512, np.uint8)
+    if s:
+        b = s.encode()[:512]
+        buf[:len(b)] = np.frombuffer(b, np.uint8)
+    out = bytes(np.asarray(multihost_utils.broadcast_one_to_all(buf)))
+    out = out.rstrip(b"\x00").decode()
+    return out or None

@@ -16,21 +16,25 @@ import time
 from typing import Dict, Optional
 
 
-def get_logger(out_dir: str, name: str = "htrvt") -> logging.Logger:
+def get_logger(out_dir: str, name: str = "htrvt",
+               write_file: bool = True) -> logging.Logger:
     """File+stdout logger writing to <out_dir>/run.log. One logger per run
     directory, so several fit() calls in one process each get their own
-    run.log (a singleton would keep appending to the first run's file)."""
+    run.log (a singleton would keep appending to the first run's file).
+    ``write_file=False`` (non-zero ranks of a multi-host run) logs to stdout
+    only, so processes never race on one run.log."""
     logger = logging.getLogger(f"{name}:{os.path.abspath(out_dir)}")
     logger.setLevel(logging.INFO)
     if logger.handlers:
         return logger
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
     os.makedirs(out_dir, exist_ok=True)
-    fh = logging.FileHandler(os.path.join(out_dir, "run.log"))
-    fh.setFormatter(fmt)
+    if write_file:
+        fh = logging.FileHandler(os.path.join(out_dir, "run.log"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
     sh = logging.StreamHandler(sys.stdout)
     sh.setFormatter(fmt)
-    logger.addHandler(fh)
     logger.addHandler(sh)
     logger.propagate = False
     return logger
@@ -42,7 +46,13 @@ class ScalarWriter:
 
     def __init__(self, out_dir: str, use_wandb: bool = False,
                  wandb_project: str = "None", run_name: str = "run",
-                 config: Optional[Dict] = None):
+                 config: Optional[Dict] = None, enabled: bool = True):
+        # enabled=False (non-zero ranks of a multi-host run): a no-op writer,
+        # so only process 0 owns metrics.jsonl / TB / wandb.
+        self._enabled = enabled
+        if not enabled:
+            self._jsonl, self._tb, self._wandb = None, None, None
+            return
         os.makedirs(out_dir, exist_ok=True)
         self._jsonl = open(os.path.join(out_dir, "metrics.jsonl"), "a")
         self._tb = None
@@ -62,6 +72,8 @@ class ScalarWriter:
                 pass
 
     def write(self, step: int, scalars: Dict[str, float]) -> None:
+        if not self._enabled:
+            return
         rec = {"step": int(step), "time": time.time()}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._jsonl.write(json.dumps(rec) + "\n")
@@ -73,6 +85,8 @@ class ScalarWriter:
             self._wandb.log(scalars, step=int(step))
 
     def close(self) -> None:
+        if not self._enabled:
+            return
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

