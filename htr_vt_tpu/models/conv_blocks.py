@@ -67,16 +67,21 @@ class ConvModule(nn.Module):
     drop_path: float = 0.0
     expansion: float = 1.0
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False  # int8 pointwise convs (serving; dw conv stays float
+    # — depthwise work is bandwidth-bound, int8 matmul rate doesn't apply)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        from htr_vt_tpu.models.layers import QDense
         d = x.shape[-1]
         hidden = int(d * self.expansion)
         use_glu = hidden % 2 == 0
         inner = hidden // 2 if use_glu else hidden
 
         y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
-        y = nn.Dense(hidden, dtype=self.dtype, name="pw1")(y)  # 1x1 conv == Dense
+        y = QDense(hidden, dtype=self.dtype, quant=self.quant,
+                   kernel_init=nn.initializers.lecun_normal(),
+                   name="pw1")(y)  # 1x1 conv == Dense
         if use_glu:
             y = _glu(y)
         y = nn.Conv(inner, (self.kernel_size,), padding="SAME",
@@ -84,7 +89,8 @@ class ConvModule(nn.Module):
         y = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=jnp.float32,
                          name="gn")(y).astype(self.dtype)
         y = nn.silu(y)
-        y = nn.Dense(d, dtype=self.dtype, name="pw2")(y)
+        y = QDense(d, dtype=self.dtype, quant=self.quant,
+                   kernel_init=nn.initializers.lecun_normal(), name="pw2")(y)
         y = nn.Dropout(self.drop_rate, deterministic=deterministic)(y)
         y = DropPath(self.drop_path, name="dp")(y, deterministic=deterministic)
         return x + y
@@ -150,6 +156,8 @@ class SqueezeFormerEncoder(nn.Module):
     drop_path_total: float = 0.1
     layer_norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -164,7 +172,8 @@ class SqueezeFormerEncoder(nn.Module):
                 ff_drop=self.ff_drop, attn_drop=self.attn_drop,
                 conv_drop=self.conv_drop, conv_kernel=self.conv_kernel,
                 drop_path=float(dp), use_se=True,
-                layer_norm_eps=self.layer_norm_eps, dtype=self.dtype, name=name)
+                layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
+                quant=self.quant, quick_gelu=self.quick_gelu, name=name)
 
         n0 = x.shape[1]
         for i in range(d1):
@@ -196,6 +205,8 @@ class ConformerBlock(nn.Module):
     use_se: bool = False
     layer_norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False  # int8 QKV/proj/FFN/pointwise matmuls (serving)
+    quick_gelu: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -206,25 +217,29 @@ class ConformerBlock(nn.Module):
         dp = DropPath(self.drop_path, name="dp")
 
         ff1 = Mlp(int(d * self.mlp_ratio), drop_rate=self.ff_drop,
-                  dtype=self.dtype, name="ffn1")
+                  dtype=self.dtype, quant=self.quant,
+                  quick_gelu=self.quick_gelu, name="ffn1")
         x = x + dp(0.5 * ff1(norm("ffn1_norm")(x).astype(self.dtype),
                              deterministic=deterministic),
                    deterministic=deterministic)
 
         attn = Attention(self.num_heads, qkv_bias=True, attn_drop=self.attn_drop,
-                         proj_drop=self.ff_drop, dtype=self.dtype, name="attn")
+                         proj_drop=self.ff_drop, dtype=self.dtype,
+                         quant=self.quant, name="attn")
         x = x + dp(attn(norm("attn_norm")(x).astype(self.dtype),
                         deterministic=deterministic),
                    deterministic=deterministic)
 
         x = ConvModule(kernel_size=self.conv_kernel, drop_rate=self.conv_drop,
                        drop_path=self.drop_path, dtype=self.dtype,
+                       quant=self.quant,
                        name="conv")(x, deterministic=deterministic)
         if self.use_se:
             x = SqueezeExcite1D(dtype=self.dtype, name="se")(x)
 
         ff2 = Mlp(int(d * self.mlp_ratio), drop_rate=self.ff_drop,
-                  dtype=self.dtype, name="ffn2")
+                  dtype=self.dtype, quant=self.quant,
+                  quick_gelu=self.quick_gelu, name="ffn2")
         x = x + dp(0.5 * ff2(norm("ffn2_norm")(x).astype(self.dtype),
                              deterministic=deterministic),
                    deterministic=deterministic)

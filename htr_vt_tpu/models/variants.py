@@ -136,6 +136,8 @@ def conformer_blocks(cfg: ModelConfig):
     return [ConformerBlock(num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio,
                            conv_kernel=cfg.conv_kernel,
                            layer_norm_eps=cfg.layer_norm_eps, dtype=dtype,
+                           quant=cfg.quant == "int8",
+                           quick_gelu=cfg.quant_gelu == "quick",
                            name=f"block{i}")
             for i in range(cfg.depth)]
 
@@ -151,7 +153,9 @@ def squeezeformer_blocks(cfg: ModelConfig):
     return [SqueezeFormerEncoder(
         num_heads=cfg.num_heads, depth=cfg.depth, mlp_ratio=cfg.mlp_ratio,
         conv_kernel=cfg.conv_kernel, drop_path_total=cfg.drop_path_rate,
-        layer_norm_eps=cfg.layer_norm_eps, dtype=dtype, name="encoder")]
+        layer_norm_eps=cfg.layer_norm_eps, dtype=dtype,
+        quant=cfg.quant == "int8", quick_gelu=cfg.quant_gelu == "quick",
+        name="encoder")]
 
 
 # ---------------------------------------------------------------------------

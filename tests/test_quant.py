@@ -150,3 +150,45 @@ def test_quantized_flagship_eval_close_to_float():
                    img, train=False)
     rel_q = float(jnp.linalg.norm(yq2 - yf) / (jnp.linalg.norm(yf) + 1e-9))
     assert rel_q < 0.15, rel_q
+
+
+def test_quantized_conformer_eval_close_to_float():
+    """int8 serving covers the conformer family too (round-3): QKV/proj,
+    macaron FFNs, and the ConvModule pointwise matmuls run int8 with the
+    SAME parameter tree; depthwise convs stay float (bandwidth-bound)."""
+    import dataclasses
+
+    from htr_vt_tpu.config import MaskConfig, ModelConfig
+    from htr_vt_tpu.models.htr_vt import HTRVT
+
+    rng = np.random.default_rng(11)
+    for encoder in ("conformer", "squeezeformer"):
+        base = ModelConfig(nb_cls=8, img_size=(64, 128), embed_dim=64,
+                           depth=2, num_heads=2, compute_dtype="float32",
+                           encoder=encoder, masking=MaskConfig(mode="none"))
+        fmodel = HTRVT(base)
+        qmodel = HTRVT(dataclasses.replace(base, quant="int8",
+                                           quant_gelu="exact"))
+        img = jnp.asarray(rng.random((2, 64, 128, 1)), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        variables = fmodel.init({"params": key, "mask": key, "dropout": key},
+                                img, train=False)
+        yf = fmodel.apply(variables, img, train=False)
+
+        # dynamic int8: same tree, logits close to float but not identical
+        yq = qmodel.apply(variables, img, train=False)
+        rel = float(jnp.linalg.norm(yq - yf) / (jnp.linalg.norm(yf) + 1e-9))
+        assert rel < 0.15, (encoder, rel)
+        assert not np.allclose(np.asarray(yq), np.asarray(yf)), encoder
+
+        # calibrate -> static path: calibration pass IS float; the static
+        # eval runs int8 and stays close
+        ycal, mut = qmodel.apply(variables, img, train=False,
+                                 mutable=["quant_stats"])
+        np.testing.assert_allclose(np.asarray(ycal), np.asarray(yf),
+                                   rtol=2e-5, atol=2e-5)
+        assert len(jax.tree.leaves(mut["quant_stats"])) > 0, encoder
+        ys = qmodel.apply({**variables, "quant_stats": mut["quant_stats"]},
+                          img, train=False)
+        rel_s = float(jnp.linalg.norm(ys - yf) / (jnp.linalg.norm(yf) + 1e-9))
+        assert rel_s < 0.15, (encoder, rel_s)
