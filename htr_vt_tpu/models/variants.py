@@ -129,6 +129,29 @@ def lgp_blocks(cfg: ModelConfig):
     ]
 
 
+@register_encoder("lgp_svtr")
+def lgp_svtr_blocks(cfg: ModelConfig):
+    """model_lgp/model/svtr_mixing.py SVTRLGMixer (present upstream but never
+    wired into create_model): ``num_window_blocks`` NON-shifted local-window
+    mixing blocks followed by global mixing blocks, all pre-LN MHSA + 4x MLP
+    (LocalMixing/GlobalMixing, svtr_mixing.py:112-171). The reference's
+    (7,11) spatial windows degenerate to 1-D width-11 windows on the stem's
+    H=1 token grid — its non-overlapping window partition with edge padding
+    is exactly this module's "window" attention (models/vit.py). One
+    documented deviation: the window blocks carry the 1-D learned relative
+    position bias (initialized ~0) the reference mixer lacks — a strict
+    superset. Wired and tested here, unlike upstream."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    return [
+        Block(num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio, qkv_bias=True,
+              drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
+              layer_norm_eps=cfg.layer_norm_eps,
+              attention="window" if i < cfg.num_window_blocks else "global",
+              window_size=cfg.window_size, dtype=dtype, name=f"block{i}")
+        for i in range(cfg.depth)
+    ]
+
+
 @register_encoder("conformer")
 def conformer_blocks(cfg: ModelConfig):
     """model_sgm_mms_conv: Conformer blocks (half-FFN/MHSA/ConvModule/half-FFN)."""
@@ -170,6 +193,9 @@ VARIANT_PRESETS = {
     "macaron_2": {},
     "localglobal": {},
     "lgp": dict(depth=3),
+    # SVTRLGMixer defaults: num_local=3 + num_global=3, window (7,11) -> 1-D
+    # width 11 at H=1 (svtr_mixing.py:142-158).
+    "lgp_svtr": dict(depth=6, num_window_blocks=3, window_size=11),
     "conformer": {},
     # drop_path_total=0.1 (reference create_model default drop_path,
     # model_sgm_mms_conv_squeeze/model/HTR_VT.py:552).

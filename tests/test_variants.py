@@ -11,8 +11,8 @@ from htr_vt_tpu.models.variants import VARIANT_PRESETS, apply_variant_preset
 
 ENCODER_DEPTHS = {
     "vit": 2, "window": 3, "macaron": 2, "macaron_2": 2, "localglobal": 4,
-    "lgp": 3, "conformer": 2, "squeezeformer": 2, "van": 2, "van2": 2,
-    "swin": 2, "svtr": 2,
+    "lgp": 3, "lgp_svtr": 4, "conformer": 2, "squeezeformer": 2, "van": 2,
+    "van2": 2, "swin": 2, "svtr": 2,
 }
 
 
@@ -55,7 +55,8 @@ def test_all_reference_variants_have_presets():
     # One preset per reference variant family (SURVEY §2.6).
     assert set(VARIANT_PRESETS) >= {
         "vit", "window", "macaron", "macaron_2", "localglobal", "lgp",
-        "conformer", "squeezeformer", "van", "van2", "swin", "svtr"}
+        "lgp_svtr", "conformer", "squeezeformer", "van", "van2", "swin",
+        "svtr"}
 
 
 def test_squeezeformer_unet_structure():
