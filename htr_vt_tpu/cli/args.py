@@ -99,6 +99,9 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="SYNTH dataset: number of generated train lines")
     p.add_argument("--synth-eval-size", type=int, default=None,
                    help="SYNTH dataset: number of generated val/test lines")
+    p.add_argument("--synth-alphabet", type=str, default=None,
+                   help="SYNTH dataset: character set to draw texts from "
+                        "(e.g. a READ-style ~90-class set)")
     p.add_argument("--proj", type=float, default=8)
     p.add_argument("--dila-ero-max-kernel", type=int, default=3)
     p.add_argument("--dila-ero-iter", type=int, default=1)
@@ -177,7 +180,8 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
     for flag, field in [("train_data_list", "train_list"), ("val_data_list", "val_list"),
                         ("test_data_list", "test_list"), ("data_path", "data_path"),
                         ("synth_train_size", "synth_train_size"),
-                        ("synth_eval_size", "synth_eval_size")]:
+                        ("synth_eval_size", "synth_eval_size"),
+                        ("synth_alphabet", "synth_alphabet")]:
         v = getattr(args, flag)
         if v is not None:
             data_kw[field] = v
