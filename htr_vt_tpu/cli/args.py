@@ -50,6 +50,12 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    choices=["quick", "exact"],
                    help="GELU flavor on the int8 serving path: quick = "
                         "sigmoid approximation (+10%% img/s), exact = erf")
+    p.add_argument("--attn-impl", type=str, default="auto",
+                   choices=["auto", "xla", "flash"],
+                   help="global-attention implementation: flash = Pallas TPU "
+                        "flash-attention kernel; auto = flash on TPU at "
+                        "N >= 256 tokens (the 1024/2048-px width buckets), "
+                        "XLA otherwise")
     p.add_argument("--embed-dim", type=int, default=768)
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--num-heads", type=int, default=6)
@@ -149,6 +155,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         img_size=img_size,
         compute_dtype=args.compute_dtype,
         quant=args.quant, quant_gelu=args.quant_gelu,
+        attn_impl=args.attn_impl,
         embed_dim=args.embed_dim, depth=args.depth, num_heads=args.num_heads,
         model_type=args.model_type, decoder_layers=args.decoder_layers,
         decoder_heads=args.decoder_heads, max_seq_len=args.max_seq_len,

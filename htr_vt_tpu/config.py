@@ -101,6 +101,13 @@ class ModelConfig:
     conv_impl: str = "auto"
     # Stem first-pool implementation: auto | pallas | xla (ops/pool_fused.py).
     pool_impl: str = "auto"
+    # Global-attention implementation: auto | xla | flash.
+    # "flash" = the Pallas TPU flash-attention kernel (streaming softmax, no
+    # [B,H,N,N] materialization). "auto" picks flash on TPU once the token
+    # count makes the quadratic attn matrix an HBM problem (N >= 256, i.e.
+    # the 1024/2048-px width buckets; the flagship's N=128 stays on XLA where
+    # the fused attention emitter is already fine). models/vit.py:resolve_attn_impl.
+    attn_impl: str = "auto"
     # Quantized INFERENCE: "none" | "int8" (dynamic A8W8, ops/quant.py).
     # Applies to the eval path of the resnet18 stem + global-attention ViT
     # (the flagship); training always runs the float path.

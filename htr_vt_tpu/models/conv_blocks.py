@@ -158,6 +158,7 @@ class SqueezeFormerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     quant: bool = False
     quick_gelu: bool = False
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -173,7 +174,8 @@ class SqueezeFormerEncoder(nn.Module):
                 conv_drop=self.conv_drop, conv_kernel=self.conv_kernel,
                 drop_path=float(dp), use_se=True,
                 layer_norm_eps=self.layer_norm_eps, dtype=self.dtype,
-                quant=self.quant, quick_gelu=self.quick_gelu, name=name)
+                quant=self.quant, quick_gelu=self.quick_gelu,
+                attn_impl=self.attn_impl, name=name)
 
         n0 = x.shape[1]
         for i in range(d1):
@@ -207,6 +209,7 @@ class ConformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     quant: bool = False  # int8 QKV/proj/FFN/pointwise matmuls (serving)
     quick_gelu: bool = False
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -225,7 +228,7 @@ class ConformerBlock(nn.Module):
 
         attn = Attention(self.num_heads, qkv_bias=True, attn_drop=self.attn_drop,
                          proj_drop=self.ff_drop, dtype=self.dtype,
-                         quant=self.quant, name="attn")
+                         quant=self.quant, attn_impl=self.attn_impl, name="attn")
         x = x + dp(attn(norm("attn_norm")(x).astype(self.dtype),
                         deterministic=deterministic),
                    deterministic=deterministic)

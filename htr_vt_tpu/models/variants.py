@@ -31,7 +31,7 @@ def vit_blocks(cfg: ModelConfig):
         Block(num_heads=cfg.num_heads, mlp_ratio=cfg.mlp_ratio, qkv_bias=cfg.qkv_bias,
               drop=cfg.drop_rate, attn_drop=cfg.attn_drop_rate,
               layer_norm_eps=cfg.layer_norm_eps, attention="global", dtype=dtype,
-              quant=cfg.quant == "int8",
+              quant=cfg.quant == "int8", attn_impl=cfg.attn_impl,
               quick_gelu=cfg.quant_gelu == "quick", name=f"block{i}")
         for i in range(cfg.depth)
     ]
@@ -66,6 +66,7 @@ def _global_block(cfg: ModelConfig, i: int, drop=0.0, attn_drop=0.0,
                  mlp_ratio=mlp_ratio or cfg.mlp_ratio, qkv_bias=True,
                  drop=drop, attn_drop=attn_drop,
                  layer_norm_eps=cfg.layer_norm_eps, attention="global",
+                 attn_impl=cfg.attn_impl,
                  dtype=jnp.dtype(cfg.compute_dtype), name=f"block{i}")
 
 
@@ -161,6 +162,7 @@ def conformer_blocks(cfg: ModelConfig):
                            layer_norm_eps=cfg.layer_norm_eps, dtype=dtype,
                            quant=cfg.quant == "int8",
                            quick_gelu=cfg.quant_gelu == "quick",
+                           attn_impl=cfg.attn_impl,
                            name=f"block{i}")
             for i in range(cfg.depth)]
 
@@ -178,7 +180,7 @@ def squeezeformer_blocks(cfg: ModelConfig):
         conv_kernel=cfg.conv_kernel, drop_path_total=cfg.drop_path_rate,
         layer_norm_eps=cfg.layer_norm_eps, dtype=dtype,
         quant=cfg.quant == "int8", quick_gelu=cfg.quant_gelu == "quick",
-        name="encoder")]
+        attn_impl=cfg.attn_impl, name="encoder")]
 
 
 # ---------------------------------------------------------------------------

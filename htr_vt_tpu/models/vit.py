@@ -25,6 +25,46 @@ def _split_heads(x, num_heads):
     return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
 
 
+def resolve_attn_impl(impl: str, n: int, head_dim: int,
+                      fused: bool = False) -> str:
+    """Pick the attention implementation for a global-attention site.
+
+    "flash" is the Pallas TPU flash-attention kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention): streaming softmax over
+    key blocks, so the [B, H, N, N] attention matrix never touches HBM. At
+    the flagship's N=128 that matrix is small and XLA's fused emitter wins;
+    at the long width buckets (N=256 for 1024 px, N=512 for 2048 px,
+    cli/serve.py --width-buckets) it is the dominant HBM tensor — e.g.
+    [128, 6, 512, 512] f32 = 805 MB per layer per pass — which is what the
+    kernel eliminates. "auto" therefore selects flash on TPU when N >= 256
+    and the shape satisfies the kernel's block constraints (N and head_dim
+    multiples of 128); anything fused (bias / mask / dropout inside the
+    attention) stays on XLA.
+    """
+    if impl == "xla":
+        return "xla"
+    if impl == "flash":
+        if jax.default_backend() != "tpu":
+            raise ValueError("attn_impl='flash' is the Pallas TPU kernel; "
+                             "use 'xla' (or 'auto') on this backend")
+        return "flash"
+    if impl != "auto":
+        raise ValueError(f"unknown attn_impl {impl!r} (auto | xla | flash)")
+    if fused or n < 256 or n % 128 or head_dim % 128:
+        return "xla"
+    return "flash" if jax.default_backend() == "tpu" else "xla"
+
+
+def flash_mha(q, k, v, scale: float, out_dtype=jnp.bfloat16):
+    """Flash attention: same contract as multi_head_attention (bias/mask-free).
+
+    q,k,v: [B, H, N, D] -> [B, N, H*D]."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+    out = flash_attention(q, k, v, sm_scale=scale)
+    b, h, n, d = out.shape
+    return out.transpose(0, 2, 1, 3).reshape(b, n, h * d).astype(out_dtype)
+
+
 def multi_head_attention(q, k, v, scale: float, bias: Optional[jax.Array] = None,
                          mask: Optional[jax.Array] = None, out_dtype=jnp.bfloat16):
     """softmax(q k^T * scale + bias) v with float32 logits/softmax.
@@ -53,6 +93,7 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     quant: bool = False
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -62,7 +103,10 @@ class Attention(nn.Module):
         qkv = QDense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                      quant=self.quant, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = multi_head_attention(
+        impl = resolve_attn_impl(self.attn_impl, n, head_dim,
+                                 fused=self.attn_drop > 0 and not deterministic)
+        mha = flash_mha if impl == "flash" else multi_head_attention
+        out = mha(
             _split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
             _split_heads(v, self.num_heads), scale=head_dim**-0.5, out_dtype=self.dtype)
         out = QDense(c, dtype=self.dtype, quant=self.quant, name="proj")(out)
@@ -170,6 +214,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     quant: bool = False
     quick_gelu: bool = False
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -178,7 +223,8 @@ class Block(nn.Module):
                                          name=name)
         if self.attention == "global":
             attn = Attention(self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
-                             dtype=self.dtype, quant=self.quant, name="attn")
+                             dtype=self.dtype, quant=self.quant,
+                             attn_impl=self.attn_impl, name="attn")
         elif self.attention in ("window", "window_shifted"):
             attn = WindowAttention1D(self.num_heads, self.window_size,
                                      shift=self.attention == "window_shifted",
