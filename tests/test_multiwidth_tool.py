@@ -1,0 +1,38 @@
+"""Smoke test for the multi-width training recipe (tools/train_multiwidth.py):
+one shared parameter set trained through per-width compiled programs
+(the evidence generator for width-bucketed serving accuracy)."""
+
+import importlib.util
+import json
+import os
+import sys
+
+
+def _load_tool():
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tools", "train_multiwidth.py")
+    spec = importlib.util.spec_from_file_location("train_multiwidth", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_multiwidth_two_buckets_shared_params(tmp_path):
+    out = str(tmp_path / "mw")
+    sys.argv = ["train_multiwidth", "--iters", "4", "--bs", "4",
+                "--widths", "128,256", "--train-size", "8", "--eval-size", "4",
+                "--eval-every", "4", "--embed-dim", "64", "--depth", "1",
+                "--num-heads", "2", "--out", out]
+    _load_tool().main()
+
+    summary = json.load(open(os.path.join(out, "multiwidth_summary.json")))
+    assert summary["widths"] == [128, 256]
+    final = summary["final"]
+    assert final["iter"] == 4
+    # both buckets evaluated with the one parameter set
+    for w in ("128", "256"):
+        # untrained CER can exceed 1.0 (insertion errors); just finite + sane
+        assert 0.0 <= final[w]["cer"] < 10.0
+        assert final[w]["eval_ms_per_batch"] > 0
+    # checkpoint written (best over mean bucket CER)
+    assert os.path.exists(os.path.join(out, "best_CER"))

@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--max-lr", type=float, default=1e-3)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--out", type=str, default="output/multiwidth")
+    ap.add_argument("--embed-dim", type=int, default=768,
+                    help="shrink for CPU smoke tests")
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--num-heads", type=int, default=6)
     args = ap.parse_args()
 
     import jax
@@ -94,6 +98,8 @@ def main() -> None:
 
     base = ExperimentConfig(
         model=ModelConfig(nb_cls=converter.num_classes, encoder=args.encoder,
+                          embed_dim=args.embed_dim, depth=args.depth,
+                          num_heads=args.num_heads,
                           masking=MaskConfig(mode="span", ratio=0.4,
                                              max_span_length=8)),
         optim=OptimConfig(max_lr=args.max_lr, warmup_iters=args.iters // 10,
