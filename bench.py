@@ -47,7 +47,9 @@ def main() -> None:
         model=ModelConfig(nb_cls=80, masking=MaskConfig(mode="span", ratio=0.4,
                                                         max_span_length=8),
                           conv_impl=os.environ.get("HTRVT_CONV_IMPL", "auto"),
-                          pool_impl=os.environ.get("HTRVT_POOL_IMPL", "auto")),
+                          pool_impl=os.environ.get("HTRVT_POOL_IMPL", "auto"),
+                          bn_stats_impl=os.environ.get(
+                              "HTRVT_BN_STATS_IMPL", "auto")),
         optim=OptimConfig(),
     )
     batch_size = int(os.environ.get("HTRVT_BS", "128"))

@@ -101,6 +101,10 @@ class ModelConfig:
     conv_impl: str = "auto"
     # Stem first-pool implementation: auto | pallas | xla (ops/pool_fused.py).
     pool_impl: str = "auto"
+    # Train-BN stats reduce: auto | pallas | xla (ops/bn_stats.py — one-pass
+    # Pallas sum/sumsq; "auto" resolves to XLA per the measured verdict in
+    # docs/PERF.md round 3).
+    bn_stats_impl: str = "auto"
     # Global-attention implementation: auto | xla | flash.
     # "flash" = the Pallas TPU flash-attention kernel (streaming softmax, no
     # [B,H,N,N] materialization). "auto" picks flash on TPU once the token

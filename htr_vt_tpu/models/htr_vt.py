@@ -57,6 +57,7 @@ class HTRVT(nn.Module):
         else:
             x = ResNet18Stem(embed_dim=cfg.embed_dim, dtype=dtype,
                              conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
+                             bn_stats_impl=cfg.bn_stats_impl,
                              quant=cfg.quant == "int8" and not train,
                              name="stem")(x, train=train)
         b = x.shape[0]

@@ -93,6 +93,7 @@ class FoldedBatchNorm(nn.Module):
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    stats_impl: str = "auto"  # auto | pallas | xla (ops/bn_stats.py)
 
     @nn.compact
     def __call__(self, x_raw, *, train: bool):
@@ -104,11 +105,23 @@ class FoldedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
         if train:
-            xf = x_raw.astype(jnp.float32)
-            axes = tuple(range(x_raw.ndim - 1))
-            mu = jnp.mean(xf, axes)
-            var = jnp.maximum(jnp.mean(jnp.square(xf), axes) - jnp.square(mu),
-                              0.0)
+            if self.stats_impl == "pallas" and x_raw.ndim == 4:
+                # One-pass Pallas sum/sumsq reduce (ops/bn_stats.py). "auto"
+                # resolves to XLA — measured verdict in docs/PERF.md (r3).
+                from htr_vt_tpu.ops.bn_stats import bn_stats
+                s, q = bn_stats(
+                    x_raw, interpret=jax.default_backend() not in ("tpu",))
+                n = 1
+                for d in x_raw.shape[:-1]:
+                    n *= d
+                mu = s / n
+                var = jnp.maximum(q / n - jnp.square(mu), 0.0)
+            else:
+                xf = x_raw.astype(jnp.float32)
+                axes = tuple(range(x_raw.ndim - 1))
+                mu = jnp.mean(xf, axes)
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(xf), axes) - jnp.square(mu), 0.0)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1.0 - m) * mu
@@ -133,6 +146,7 @@ class BasicBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bn_momentum: float = 0.9
     conv_impl: str = "auto"  # auto | pallas | xla
+    bn_stats_impl: str = "auto"  # auto | pallas | xla (ops/bn_stats.py)
     quant: bool = False  # dynamic-int8 convs (inference only; ops/quant.py)
 
     @nn.compact
@@ -172,7 +186,9 @@ class BasicBlock(nn.Module):
                 return (conv3x3_bn_relu
                         if _use_pallas(self.conv_impl, c_in, c_out)
                         else conv3x3_bn_relu_reference)
-        bn = lambda name: FoldedBatchNorm(momentum=self.bn_momentum, name=name)
+        bn = lambda name: FoldedBatchNorm(momentum=self.bn_momentum,
+                                          stats_impl=self.bn_stats_impl,
+                                          name=name)
 
         x = _conv_in(x.astype(dt))
         k1 = _Conv3x3(self.features, cin, name="conv1")().astype(dt)
@@ -232,6 +248,7 @@ class ResNet18Stem(nn.Module):
     final_maxpool: bool = True
     conv_impl: str = "auto"
     pool_impl: str = "auto"  # auto | pallas | xla (ops/pool_fused.py)
+    bn_stats_impl: str = "auto"  # auto | pallas | xla (ops/bn_stats.py)
     quant: bool = False  # int8 stage convs (inference; conv1 at Cin=1 stays float)
 
     @nn.compact
@@ -248,6 +265,15 @@ class ResNet18Stem(nn.Module):
             from htr_vt_tpu.ops.pool_fused import max_pool_bn_relu
             s1, t1 = FoldedBatchNorm(momentum=0.9, name="bn1")(x, train=train)
             x = max_pool_bn_relu(x, s1, t1)
+        elif self.bn_stats_impl == "pallas":
+            # Same math as the flax-BN branch but with the stats reduce done
+            # by the one-pass Pallas kernel; the normalize+ReLU stays an XLA
+            # elementwise pass (identical tree names {scale,bias}/{mean,var}).
+            s1, t1 = FoldedBatchNorm(momentum=0.9, stats_impl="pallas",
+                                     name="bn1")(x, train=train)
+            x = jnp.maximum(x.astype(jnp.float32) * s1 + t1,
+                            0.0).astype(self.dtype)
+            x = _max_pool_3x3(x, (2, 1))
         else:
             # flax BN: the normalize+ReLU is a standalone bandwidth pass over
             # the [B, H/2, W, C] conv1 output (it cannot fuse into its
@@ -265,9 +291,11 @@ class ResNet18Stem(nn.Module):
             needs_proj = strides != (1, 1) or in_width != w
             x = BasicBlock(w, strides, use_projection=needs_proj, dtype=self.dtype,
                            conv_impl=self.conv_impl, quant=self.quant,
+                           bn_stats_impl=self.bn_stats_impl,
                            name=f"stage{si + 1}_block1")(x, train=train)
             x = BasicBlock(w, (1, 1), use_projection=False, dtype=self.dtype,
                            conv_impl=self.conv_impl, quant=self.quant,
+                           bn_stats_impl=self.bn_stats_impl,
                            name=f"stage{si + 1}_block2")(x, train=train)
             in_width = w
 
