@@ -145,3 +145,26 @@ def test_cli_test_with_lm_fused_beam(run_dir, tmp_path):
     res = json.load(open(str(tmp_path / "fused.json")))
     assert "cer" in res and len(res["samples"]) == 64
     assert res["decode_img_per_sec"] > 0
+
+
+def test_cli_export_bundle(run_dir, tmp_path):
+    """Export the trained checkpoint as a StableHLO bundle, reload it with
+    deploy.ServingBundle (no model code) and check it reproduces cli.serve's
+    transcriptions bit-for-bit."""
+    bundle_dir = str(tmp_path / "bundle")
+    sys.argv = ["export", "SYNTH", "--checkpoint",
+                os.path.join(run_dir, "best_CER"), "--out", bundle_dir,
+                "--batch-size", "4", "--verify", *ARGS_COMMON]
+    from htr_vt_tpu.cli.export import main
+    main()
+
+    from htr_vt_tpu.deploy import ServingBundle
+    bundle = ServingBundle(bundle_dir)
+    assert bundle.meta["quant"] == "float"
+    from htr_vt_tpu.data.synthetic import SyntheticLineDataset
+    ds = SyntheticLineDataset(4, seed=7)
+    imgs = np.stack([ds[i][0] for i in range(4)])[..., None].astype(np.float32)
+    texts = bundle.transcribe(imgs)
+    assert len(texts) == 4
+    charset = set("".join(bundle.charset[1:]))
+    assert all(set(t) <= charset for t in texts)
