@@ -41,8 +41,14 @@ from htr_vt_tpu.train.step import jit_eval_step
 def main() -> None:
     parser = build_parser("htr_vt_tpu batch transcription")
     parser.add_argument("--checkpoint", type=str, required=True)
-    parser.add_argument("--images", type=str, required=True,
+    parser.add_argument("--images", type=str, default=None,
                         help="glob pattern or file containing one path per line")
+    parser.add_argument("--selftest", action="store_true",
+                        help="serve self-generated synthetic lines at natural "
+                             "widths instead of --images and score the "
+                             "transcriptions (smoke-tests a checkpoint + "
+                             "bucket config without data)")
+    parser.add_argument("--selftest-n", type=int, default=16)
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--arpa", type=str, default=None,
                         help="optional ARPA LM for beam rescoring")
@@ -57,13 +63,40 @@ def main() -> None:
     args = parser.parse_args()
     cfg = args_to_config(args)
 
-    if os.path.isfile(args.images) and not args.images.endswith((".png", ".jpg")):
-        with open(args.images) as f:
-            paths = [l.strip() for l in f if l.strip()]
+    selftest_labels = {}
+    if args.selftest:
+        # Self-generated lines with NATURAL widths (length-proportional
+        # canvases, labels trimmed to what actually rendered) so bucket
+        # routing and long-line handling are exercised end to end.
+        import tempfile
+
+        from PIL import Image
+
+        from htr_vt_tpu.data.synthetic import random_text, render_line
+        sdir = tempfile.mkdtemp(prefix="htrvt_selftest_")
+        srng = np.random.default_rng(0)
+        alphabet = cfg.data.synth_alphabet
+        paths = []
+        for i in range(args.selftest_n):
+            max_len = 6 + (i * 90) // max(1, args.selftest_n - 1)
+            text = random_text(srng, alphabet, min_len=4,
+                               max_len=max(5, max_len))
+            w = max(64, len(text) * 24 + 32)
+            img, drawn = render_line(text, 64, w, rng=srng, return_drawn=True)
+            p = os.path.join(sdir, f"line_{i:03d}.png")
+            Image.fromarray(img).save(p)
+            paths.append(p)
+            selftest_labels[p] = text[:drawn].rstrip()
+    elif args.images:
+        if os.path.isfile(args.images) and not args.images.endswith((".png", ".jpg")):
+            with open(args.images) as f:
+                paths = [l.strip() for l in f if l.strip()]
+        else:
+            paths = sorted(glob.glob(args.images))
+        if not paths:
+            sys.exit(f"no images match {args.images!r}")
     else:
-        paths = sorted(glob.glob(args.images))
-    if not paths:
-        sys.exit(f"no images match {args.images!r}")
+        parser.error("one of --images / --selftest is required")
 
     train_ds = build_dataset(cfg.data, "train")
     converter = make_converter(cfg.data, train_ds)
@@ -167,6 +200,21 @@ def main() -> None:
     print(f"# {done} images in {dt:.2f}s ({done / dt:.1f} img/s)", file=sys.stderr)
     if args.out:
         sink.close()
+
+    if args.selftest:
+        from htr_vt_tpu.text.metrics import cer_wer
+        overall = cer_wer([results[i] for i in range(done)],
+                          [selftest_labels[p] for p in paths])
+        print(f"# selftest CER {overall[0]:.4f} WER {overall[1]:.4f}",
+              file=sys.stderr)
+        for bi, width in enumerate(buckets):
+            idxs = [i for i, o in enumerate(owner) if o == bi]
+            if not idxs:
+                continue
+            c, w_ = cer_wer([results[i] for i in idxs],
+                            [selftest_labels[paths[i]] for i in idxs])
+            print(f"#   bucket {width:5d}: {len(idxs):3d} lines  "
+                  f"CER {c:.4f}  WER {w_:.4f}", file=sys.stderr)
 
 
 if __name__ == "__main__":

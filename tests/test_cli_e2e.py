@@ -168,3 +168,18 @@ def test_cli_export_bundle(run_dir, tmp_path):
     assert len(texts) == 4
     charset = set("".join(bundle.charset[1:]))
     assert all(set(t) <= charset for t in texts)
+
+
+def test_cli_serve_selftest(run_dir, capsys):
+    """--selftest: self-generated natural-width lines through the bucket
+    router, scored against their own labels (no --images needed)."""
+    sys.argv = ["serve", "SYNTH", "--checkpoint",
+                os.path.join(run_dir, "best_CER"), "--selftest",
+                "--selftest-n", "4", "--batch-size", "4",
+                "--width-buckets", "512,1024", *ARGS_COMMON]
+    from htr_vt_tpu.cli.serve import main
+    main()
+    captured = capsys.readouterr()
+    assert captured.out.count('"text"') == 4  # JSONL records
+    assert "# selftest CER" in captured.err
+    assert "bucket" in captured.err
