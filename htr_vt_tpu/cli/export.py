@@ -66,6 +66,13 @@ def main() -> None:
 
     platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
                  if args.platforms else None)
+    backend = jax.default_backend()
+    resolved = platforms or ([backend] if backend == "cpu"
+                             else [backend, "cpu"])
+    # Pallas kernels (flash attention at N >= 256 under attn_impl="auto")
+    # are platform-specific custom calls — a multi-platform artifact must
+    # stay on the portable XLA attention. TPU-only exports keep "auto".
+    attn_impl = cfg.model.attn_impl if resolved == ["tpu"] else "xla"
 
     if args.width_buckets:
         mult = cfg.model.patch_size[0]
@@ -97,7 +104,8 @@ def main() -> None:
     artifacts = {}
     for width in widths:
         cfg_b = dataclasses.replace(
-            cfg, model=dataclasses.replace(cfg.model, img_size=(h, width)))
+            cfg, model=dataclasses.replace(cfg.model, img_size=(h, width),
+                                           attn_impl=attn_impl))
         model_b = build_model(cfg_b.model)
         variables = base_vars
         print(f"exporting width {width} (bs {bs}, "
@@ -124,7 +132,8 @@ def main() -> None:
             img = rng.standard_normal((bs, h, width, 1)).astype(np.float32)
             ids, lengths = bundle.run(img, width)
             cfg_b = dataclasses.replace(
-                cfg, model=dataclasses.replace(cfg.model, img_size=(h, width)))
+                cfg, model=dataclasses.replace(cfg.model, img_size=(h, width),
+                                               attn_impl=attn_impl))
             model_b = build_model(cfg_b.model)
             from htr_vt_tpu.deploy import make_serving_fn
             ref_ids, ref_len = jax.jit(make_serving_fn(model_b, base_vars))(img)
