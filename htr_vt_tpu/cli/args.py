@@ -94,6 +94,17 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--ema-decay", type=float, default=0.9999)
     p.add_argument("--sam-rho", type=float, default=0.05)
     p.add_argument("--tri-masked", action="store_true", default=False)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="split each batch into N microbatches inside the "
+                        "jitted SAM step (lax.scan) — identical optimizer "
+                        "math, 1/N the activation memory; train-bs must be "
+                        "divisible by N")
+    p.add_argument("--remat", type=str, default="none",
+                   choices=["none", "blocks", "all"],
+                   help="rematerialize (jax.checkpoint) encoder blocks "
+                        "('blocks') or blocks+stem ('all') during training: "
+                        "recompute activations in the backward instead of "
+                        "holding them in HBM")
 
     # data / augmentation
     p.add_argument("--train-data-list", type=str, default=None)
@@ -155,7 +166,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         img_size=img_size,
         compute_dtype=args.compute_dtype,
         quant=args.quant, quant_gelu=args.quant_gelu,
-        attn_impl=args.attn_impl,
+        attn_impl=args.attn_impl, remat=args.remat,
         embed_dim=args.embed_dim, depth=args.depth, num_heads=args.num_heads,
         model_type=args.model_type, decoder_layers=args.decoder_layers,
         decoder_heads=args.decoder_heads, max_seq_len=args.max_seq_len,
@@ -201,6 +212,7 @@ def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
         print_iters=args.print_iter, resume=args.resume,
         use_wandb=args.use_wandb, wandb_project=args.wandb_project,
         profile_dir=args.profile_dir, tri_masked=args.tri_masked,
+        grad_accum=args.grad_accum,
         load_model=args.load_model, load_encoder_only=args.load_encoder_only)
 
     return dataclasses.replace(cfg, model=model, optim=optim, data=data, train=train)

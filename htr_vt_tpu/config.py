@@ -122,6 +122,15 @@ class ModelConfig:
     # Only consulted when quant != "none"; training/float eval always use
     # exact GELU.
     quant_gelu: str = "quick"
+    # Rematerialization (jax.checkpoint via flax.linen.remat) — trades one
+    # extra forward recompute for not keeping activations alive across the
+    # backward pass. "none" keeps XLA's default liveness; "blocks" remats
+    # each encoder block; "all" also remats the ResNet stem (whose [B, H/2,
+    # W, C] activations dominate the training footprint). Training-only: the
+    # eval/serving trace never pays the recompute. Enables larger batches or
+    # wider width-buckets on a fixed HBM budget (no reference analog — the
+    # torch stack holds every activation, README.md:38 "24G").
+    remat: str = "none"  # none | blocks | all
     masking: MaskConfig = field(default_factory=MaskConfig)
     sgm: SGMConfig = field(default_factory=SGMConfig)
 
@@ -243,6 +252,15 @@ class TrainConfig:
     # Number of masked forwards averaged per loss (tri-masked MMS trainer uses
     # 3: random/block/span — reference model_sgm_mms_attach/train.py:76-97).
     tri_masked: bool = False
+    # Gradient accumulation: split each batch into `grad_accum` microbatches
+    # inside the jitted SAM step (lax.scan), accumulate both SAM gradient
+    # passes, update once. Exact SAM semantics are preserved: the
+    # perturbation uses the mean gradient over the FULL effective batch, the
+    # same global-norm math as the unaccumulated step. BN statistics advance
+    # per microbatch (standard accumulation semantics). Lets the reference's
+    # bs-128 recipes run on memory-tight configurations (long width-buckets,
+    # small HBM) with identical optimizer math. 1 disables.
+    grad_accum: int = 1
     donate_state: bool = True
     # Failure detection (the reference has none, SURVEY §5): after this many
     # consecutive non-finite losses the loop saves an emergency checkpoint and

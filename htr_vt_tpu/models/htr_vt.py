@@ -50,16 +50,28 @@ class HTRVT(nn.Module):
         if cfg.input_layer_norm:
             x = global_layer_norm(x)
 
+        # Rematerialization (cfg.remat): under "all"/"blocks" the training
+        # trace wraps stem / encoder blocks in jax.checkpoint so their
+        # activations are recomputed in the backward instead of held in HBM
+        # — the stem's [B, H/2, W, C] tensors dominate the footprint. `train`
+        # / `deterministic` stay Python-static by closing over them.
+        remat_stem = train and cfg.remat == "all"
+        remat_blocks = train and cfg.remat in ("blocks", "all")
+
         if cfg.stem in ("van", "van2"):
             from htr_vt_tpu.models.van import VanStem
-            x = VanStem(embed_dim=cfg.embed_dim, variant=cfg.stem, dtype=dtype,
-                        name="stem")(x, train=train)
+            stem = VanStem(embed_dim=cfg.embed_dim, variant=cfg.stem,
+                           dtype=dtype, name="stem")
         else:
-            x = ResNet18Stem(embed_dim=cfg.embed_dim, dtype=dtype,
-                             conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
-                             bn_stats_impl=cfg.bn_stats_impl,
-                             quant=cfg.quant == "int8" and not train,
-                             name="stem")(x, train=train)
+            stem = ResNet18Stem(embed_dim=cfg.embed_dim, dtype=dtype,
+                                conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
+                                bn_stats_impl=cfg.bn_stats_impl,
+                                quant=cfg.quant == "int8" and not train,
+                                name="stem")
+        if remat_stem:
+            x = nn.remat(lambda mdl, t: mdl(t, train=train))(stem, x)
+        else:
+            x = stem(x, train=train)
         b = x.shape[0]
         tokens = x.reshape(b, -1, cfg.embed_dim)  # [B, N, D]
         n = tokens.shape[1]
@@ -88,7 +100,11 @@ class HTRVT(nn.Module):
             import dataclasses
             enc_cfg = dataclasses.replace(cfg, quant="none")
         for block in build_encoder_blocks(enc_cfg):
-            tokens = block(tokens, deterministic=not train)
+            if remat_blocks:
+                tokens = nn.remat(
+                    lambda mdl, t: mdl(t, deterministic=not train))(block, tokens)
+            else:
+                tokens = block(tokens, deterministic=not train)
 
         feats = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                              name="norm")(tokens)

@@ -109,6 +109,44 @@ def make_loss_fn(model, cfg: ExperimentConfig) -> Callable:
     return tri_loss_fn
 
 
+def _make_accum_grad_fn(loss_fn, grad_accum: int):
+    """Microbatched value_and_grad: lax.scan over `grad_accum` slices of the
+    batch, accumulating gradients and losses; BN statistics thread through
+    the carry so each microbatch normalizes with its own stats (standard
+    accumulation semantics). Returns the same ((loss, aux), grads) shape as
+    jax.value_and_grad(loss_fn, has_aux=True), with loss/grads averaged over
+    microbatches — so SAM's perturbation/global-norm math sees exactly the
+    mean-gradient of the full effective batch."""
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def accum(params, batch_stats, batch: Batch, rng, step):
+        b = next(iter(batch.values())).shape[0]
+        if b % grad_accum:
+            raise ValueError(
+                f"batch size {b} not divisible by grad_accum={grad_accum}")
+        micro = {k: v.reshape((grad_accum, b // grad_accum) + v.shape[1:])
+                 for k, v in batch.items()}
+        rngs = jax.random.split(rng, grad_accum)
+
+        def body(carry, xs):
+            bs, gsum, lsum = carry
+            mb, r = xs
+            (li, aux_i), gi = grad_fn(params, bs, mb, r, step)
+            gsum = jax.tree.map(jnp.add, gsum, gi)
+            scalars = {k: v for k, v in aux_i.items() if k != "batch_stats"}
+            return (aux_i["batch_stats"], gsum, lsum + li), scalars
+
+        init = (batch_stats, jax.tree.map(jnp.zeros_like, params),
+                jnp.zeros((), jnp.float32))
+        (bs, gsum, lsum), scalars = jax.lax.scan(body, init, (micro, rngs))
+        grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+        aux = {"batch_stats": bs,
+               **{k: jnp.mean(v) for k, v in scalars.items()}}
+        return (lsum / grad_accum, aux), grads
+
+    return accum
+
+
 def train_step(model, cfg: ExperimentConfig, state: TrainState,
                batch: Batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One full SAM iteration. Pure; jit (or shard_map) this."""
@@ -116,7 +154,10 @@ def train_step(model, cfg: ExperimentConfig, state: TrainState,
     loss_fn = make_loss_fn(model, cfg)
 
     rng, rng1, rng2 = jax.random.split(state.rng, 3)
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    if cfg.train.grad_accum > 1:
+        grad_fn = _make_accum_grad_fn(loss_fn, cfg.train.grad_accum)
+    else:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     # SAM pass 1: gradient at w (reference train.py:122-124).
     (loss1, aux1), grads1 = grad_fn(state.params, state.batch_stats, batch, rng1,
