@@ -158,11 +158,25 @@ def main() -> None:
             eval_fns[width] = jit_eval_step(model_b, cfg_b, extra_vars=extra)
         return eval_fns[width]
 
-    def transcribe(chunk, width):
-        imgs = np.stack([load_line_image(p, width, h) for p in chunk])
+    # Host-side image decode is pipelined: per-image PIL decode+resize costs
+    # ~2-5 ms, so an un-overlapped bs-128 batch spends more time in PIL than
+    # on the chip. A thread pool decodes images in parallel AND prefetches
+    # the next chunk while the current one computes (the jit dispatch
+    # releases the GIL during device execution).
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 8))
+    prefetcher = ThreadPoolExecutor(max_workers=1)  # separate: load_chunk
+    # itself fans out on `pool`; sharing one pool could self-deadlock.
+
+    def load_chunk(chunk, width):
+        imgs = np.stack(list(pool.map(
+            lambda p: load_line_image(p, width, h), chunk)))
         if len(chunk) < bs:  # pad to the compiled shape
             imgs = np.concatenate([imgs, np.ones((bs - len(chunk), h, width, 1),
                                                  np.float32)])
+        return imgs
+
+    def transcribe(chunk, width, imgs):
         batch = {"image": imgs, "labels": np.zeros((bs, 8), np.int32),
                  "label_lengths": np.zeros((bs,), np.int32)}
         out = eval_for(width, imgs)(state.ema_params, state.ema_batch_stats,
@@ -186,12 +200,25 @@ def main() -> None:
     sink = open(args.out, "w") if args.out else sys.stdout
     t0 = time.perf_counter()
     results = {}
+    # Flatten the whole job into (width, selection) chunks, then run with
+    # one-chunk-ahead prefetch: chunk k+1 decodes on host threads while
+    # chunk k executes on device.
+    jobs = []
     for bi, width in enumerate(buckets):
         idxs = [i for i, o in enumerate(owner) if o == bi]
         for start in range(0, len(idxs), bs):
-            sel = idxs[start:start + bs]
-            for i, t in zip(sel, transcribe([paths[i] for i in sel], width)):
-                results[i] = t
+            jobs.append((width, idxs[start:start + bs]))
+    pending = None
+    for k, (width, sel) in enumerate(jobs):
+        imgs = (pending.result() if pending is not None
+                else load_chunk([paths[i] for i in sel], width))
+        if k + 1 < len(jobs):
+            nw, nsel = jobs[k + 1]
+            pending = prefetcher.submit(load_chunk, [paths[i] for i in nsel], nw)
+        else:
+            pending = None
+        for i, t in zip(sel, transcribe([paths[i] for i in sel], width, imgs)):
+            results[i] = t
     for i, p in enumerate(paths):  # input order, regardless of bucket
         sink.write(json.dumps({"image": p, "text": results[i]},
                               ensure_ascii=False) + "\n")
