@@ -147,14 +147,6 @@ def build_parser(description: str) -> argparse.ArgumentParser:
 
 
 def args_to_config(args: argparse.Namespace) -> ExperimentConfig:
-    # Every CLI funnels through here; enable the persistent compilation cache
-    # so restarted runs (and the flaky axon remote-compile service) reuse
-    # compiled programs instead of paying the 3-20 min TPU compile again.
-    import jax
-    if not jax.config.jax_compilation_cache_dir:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/htrvt_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     cfg = dataset_preset(args.dataset)
     w, h = (args.img_size + [64])[:2] if len(args.img_size) >= 2 else (512, 64)
     img_size = (h, w)  # reference passes [W, H] on the CLI

@@ -31,6 +31,8 @@ from htr_vt_tpu.train.state import create_train_state
 
 
 def main() -> None:
+    from htr_vt_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = build_parser("htr_vt_tpu StableHLO serving export")
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--out", type=str, required=True,
@@ -88,17 +90,14 @@ def main() -> None:
         # width (running abs-max over a few eval batches — see cli/test.py);
         # per-tensor scales are width-independent, so the wider buckets
         # reuse them.
+        from htr_vt_tpu.ops.quant import calibrate_quant_stats
         eval_ds = build_dataset(cfg.data, "val")
         max_len = choose_max_label_len(train_ds.labels, cfg.model.num_tokens)
-        calib_fn = jax.jit(lambda img, stats: model.apply(
-            {**base_vars, **({"quant_stats": stats} if stats else {})},
-            img, train=False, mutable=["quant_stats"])[1]["quant_stats"])
-        stats = {}
-        for bi, (batch, _, _) in enumerate(
-                eval_batches(eval_ds, converter, bs, max_len)):
-            if bi >= max(1, args.calib_batches):
-                break
-            stats = calib_fn(jax.numpy.asarray(batch["image"]), stats)
+        stats = calibrate_quant_stats(
+            model, base_vars,
+            (b["image"] for b, _, _ in eval_batches(eval_ds, converter, bs,
+                                                    max_len)),
+            args.calib_batches)
         base_vars = {**base_vars, "quant_stats": stats}
 
     artifacts = {}

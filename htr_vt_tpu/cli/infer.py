@@ -29,6 +29,8 @@ def binarize(img: np.ndarray, threshold: float) -> np.ndarray:
 
 
 def main() -> None:
+    from htr_vt_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = build_parser("htr_vt_tpu quick inference")
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--image", type=str, required=True)

@@ -39,6 +39,8 @@ from htr_vt_tpu.train.step import jit_eval_step
 
 
 def main() -> None:
+    from htr_vt_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = build_parser("htr_vt_tpu batch transcription")
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--images", type=str, default=None,
@@ -149,12 +151,12 @@ def main() -> None:
             model_b = build_model(cfg_b.model)
             extra = None
             if cfg.model.quant == "int8":
-                _, mut = model_b.apply(
+                from htr_vt_tpu.ops.quant import calibrate_quant_stats
+                extra = {"quant_stats": calibrate_quant_stats(
+                    model_b,
                     {"params": state.ema_params,
                      "batch_stats": state.ema_batch_stats},
-                    jax.numpy.asarray(calib_image), train=False,
-                    mutable=["quant_stats"])
-                extra = {"quant_stats": mut["quant_stats"]}
+                    [calib_image], n_batches=1)}
             eval_fns[width] = jit_eval_step(model_b, cfg_b, extra_vars=extra)
         return eval_fns[width]
 

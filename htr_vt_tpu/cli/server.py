@@ -64,12 +64,27 @@ class BatchWorker(threading.Thread):
 
     def submit(self, image: np.ndarray, width: int) -> _Pending:
         p = _Pending(image, width)
+        if self._stop.is_set():  # refuse instead of queueing forever
+            p.error = "server shutting down"
+            p.event.set()
+            return p
         self.inbox.put(p)
         return p
 
     def stop(self):
         self._stop.set()
         self.inbox.put(None)  # wake the collector
+
+    def _drain_on_stop(self):
+        """Fail everything still queued so no handler thread hangs on wait()."""
+        while True:
+            try:
+                p = self.inbox.get_nowait()
+            except queue.Empty:
+                return
+            if p is not None:
+                p.error = "server shutting down"
+                p.event.set()
 
     def run(self):
         while not self._stop.is_set():
@@ -113,6 +128,7 @@ class BatchWorker(threading.Thread):
                     self.served += len(ps)
                     for p in ps:
                         p.event.set()
+        self._drain_on_stop()
 
 
 def make_handler(bundle: ServingBundle, worker: BatchWorker, started: float):
@@ -158,7 +174,8 @@ def make_handler(bundle: ServingBundle, worker: BatchWorker, started: float):
             width = next((w for w in widths if natural <= w), widths[-1])
             pending = worker.submit(
                 prepare_line_image(img, max_w=width, max_h=h), width)
-            pending.event.wait()
+            if not pending.event.wait(timeout=600.0):
+                return self._reply(503, {"error": "request timed out"})
             if pending.error is not None:
                 return self._reply(500, {"error": pending.error})
             self._reply(200, {"text": pending.text, "width_bucket": width})

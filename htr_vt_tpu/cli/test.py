@@ -25,6 +25,8 @@ from htr_vt_tpu.train.step import jit_eval_step
 
 
 def main() -> None:
+    from htr_vt_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = build_parser("htr_vt_tpu evaluator")
     parser.add_argument("--checkpoint", type=str, required=True,
                         help="checkpoint dir (rolling, best_CER/best_WER, or run dir)")
@@ -59,17 +61,13 @@ def main() -> None:
         # abs-max across calls — a single batch can under-estimate the scale
         # and silently clip later activations); without this the dynamic
         # path still works but forgoes the fused-quantize speed.
-        calib_fn = jax.jit(lambda img, stats: model.apply(
-            {"params": state.ema_params, "batch_stats": state.ema_batch_stats,
-             **({"quant_stats": stats} if stats else {})},
-            img, train=False, mutable=["quant_stats"])[1]["quant_stats"])
-        stats = {}
-        for bi, (calib, _, _) in enumerate(
-                eval_batches(eval_ds, converter, cfg.data.val_bs, max_label_len)):
-            if bi >= max(1, args.calib_batches):
-                break
-            stats = calib_fn(jax.numpy.asarray(calib["image"]), stats)
-        extra = {"quant_stats": stats}
+        from htr_vt_tpu.ops.quant import calibrate_quant_stats
+        extra = {"quant_stats": calibrate_quant_stats(
+            model,
+            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+            (b["image"] for b, _, _ in eval_batches(
+                eval_ds, converter, cfg.data.val_bs, max_label_len)),
+            args.calib_batches)}
     eval_fn = jit_eval_step(model, cfg, extra_vars=extra)
     loss, cer, wer, preds, labels = validate(
         eval_fn, state.ema_params, state.ema_batch_stats,

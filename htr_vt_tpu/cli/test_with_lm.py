@@ -33,6 +33,8 @@ from htr_vt_tpu.train.step import jit_eval_step
 
 
 def main() -> None:
+    from htr_vt_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = build_parser("htr_vt_tpu LM-rescored evaluator")
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--arpa", type=str, required=True,

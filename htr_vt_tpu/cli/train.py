@@ -11,6 +11,8 @@ from htr_vt_tpu.train.loop import fit
 
 
 def main() -> None:
+    from htr_vt_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     args = build_parser("htr_vt_tpu trainer").parse_args()
     cfg = args_to_config(args)
     result = fit(cfg)

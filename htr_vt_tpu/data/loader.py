@@ -181,6 +181,8 @@ class TrainLoader:
         self._buf: Dict[int, Dict[str, np.ndarray]] = {}
         self._cv = threading.Condition()
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._error_batch = -1
         self._threads = [threading.Thread(target=self._worker, daemon=True)
                          for _ in range(num_threads)]
         for t in self._threads:
@@ -218,7 +220,16 @@ class TrainLoader:
                     return
                 b = self._next_claim
                 self._next_claim += 1
-            batch = self._build(b, perm_cache)
+            try:
+                batch = self._build(b, perm_cache)
+            except BaseException as e:  # surface to consumer; never deadlock
+                with self._cv:
+                    if self._error is None:
+                        self._error = e
+                        self._error_batch = b
+                    self._stop.set()
+                    self._cv.notify_all()
+                return
             with self._cv:
                 self._buf[b] = batch
                 self._cv.notify_all()
@@ -231,6 +242,10 @@ class TrainLoader:
         with self._cv:
             while self._next_emit not in self._buf:
                 if self._stop.is_set():
+                    if self._error is not None:
+                        raise RuntimeError(
+                            f"TrainLoader worker failed building batch "
+                            f"{self._error_batch}") from self._error
                     raise StopIteration
                 self._cv.wait(0.2)
             batch = self._buf.pop(self._next_emit)

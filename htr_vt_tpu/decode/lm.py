@@ -125,7 +125,14 @@ class IndexedNgram:
                 n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
             return out
         for i in range(n):
-            ctx = [self._words[c] for c in ctx_ids[i] if c >= 0]
+            # Match the native NgramIndex::cond semantics exactly: a negative
+            # id is an absent word — any n-gram spanning it misses, so the
+            # usable context is the suffix AFTER the last negative (keys and
+            # backoff contexts containing the hole all miss in the C++ path).
+            row = ctx_ids[i]
+            neg = np.nonzero(row < 0)[0]
+            start = int(neg[-1]) + 1 if neg.size else 0
+            ctx = [self._words[c] for c in row[start:]]
             out[i] = self._scorer.cond(ctx, self._words[int(word_ids[i])])
         return out
 

@@ -38,6 +38,11 @@ def validate(eval_fn, params, batch_stats, batches, converter: CTCLabelConverter
         if sharding is not None:
             if nproc > 1:
                 rank = jax.process_index()
+                rows = next(iter(batch.values())).shape[0]
+                if rows % nproc:
+                    raise ValueError(
+                        f"eval batch size {rows} not divisible by process "
+                        f"count {nproc}; pass a divisible --val-bs")
                 batch = {k: jax.make_array_from_process_local_data(
                     sharding, v[rank * (v.shape[0] // nproc):
                                 (rank + 1) * (v.shape[0] // nproc)])

@@ -263,7 +263,9 @@ class ResNet18Stem(nn.Module):
             # select-and-scatter backward + BN reductions into one pass
             # (ops/pool_fused.py). Same {scale,bias}/{mean,var} tree names.
             from htr_vt_tpu.ops.pool_fused import max_pool_bn_relu
-            s1, t1 = FoldedBatchNorm(momentum=0.9, name="bn1")(x, train=train)
+            s1, t1 = FoldedBatchNorm(momentum=0.9,
+                                     stats_impl=self.bn_stats_impl,
+                                     name="bn1")(x, train=train)
             x = max_pool_bn_relu(x, s1, t1)
         elif self.bn_stats_impl == "pallas":
             # Same math as the flax-BN branch but with the stats reduce done

@@ -47,6 +47,15 @@ def resolve_attn_impl(impl: str, n: int, head_dim: int,
         if jax.default_backend() != "tpu":
             raise ValueError("attn_impl='flash' is the Pallas TPU kernel; "
                              "use 'xla' (or 'auto') on this backend")
+        if fused:
+            raise ValueError("attn_impl='flash' cannot fuse bias/mask/dropout "
+                             "inside attention at this site; use 'xla' or "
+                             "'auto' (auto routes fused sites to XLA)")
+        if n % 128 or head_dim % 128:
+            raise ValueError(
+                f"attn_impl='flash' needs N and head_dim to be multiples of "
+                f"128 (kernel block constraint); got N={n}, head_dim="
+                f"{head_dim} — use 'auto' to fall back to XLA on such shapes")
         return "flash"
     if impl != "auto":
         raise ValueError(f"unknown attn_impl {impl!r} (auto | xla | flash)")

@@ -98,3 +98,26 @@ def activation_scale(module, name: str, x: jax.Array):
     if module.has_variable("quant_stats", name):
         return "static", module.get_variable("quant_stats", name)
     return "dynamic", None
+
+
+def calibrate_quant_stats(model, base_vars: dict, image_batches,
+                          n_batches: int = 4) -> dict:
+    """Calibrate static activation scales: float forwards recording a RUNNING
+    abs-max into the 'quant_stats' collection (a single batch can
+    under-estimate the scale and silently clip later activations).
+
+    model: the flax model (quant="int8"); base_vars: {"params", "batch_stats"}
+    WITHOUT quant_stats; image_batches: iterable of [B,H,W,1] float arrays of
+    one fixed shape (one compiled program). Returns the quant_stats
+    collection to merge into the serving variables. Shared by
+    cli/{test,export,serve}.py so the calibration scheme has one home.
+    """
+    calib_fn = jax.jit(lambda img, stats: model.apply(
+        {**base_vars, **({"quant_stats": stats} if stats else {})},
+        img, train=False, mutable=["quant_stats"])[1]["quant_stats"])
+    stats = {}
+    for bi, img in enumerate(image_batches):
+        if bi >= max(1, n_batches):
+            break
+        stats = calib_fn(jnp.asarray(img), stats)
+    return stats

@@ -51,6 +51,9 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
     if cfg.data.train_bs % nproc:
         raise ValueError(f"global train_bs {cfg.data.train_bs} not divisible "
                          f"by process count {nproc}")
+    if cfg.data.val_bs % nproc:
+        raise ValueError(f"global val_bs {cfg.data.val_bs} not divisible "
+                         f"by process count {nproc}")
 
     # ---- data ----
     train_ds = build_dataset(cfg.data, "train")
@@ -172,7 +175,10 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
     writer = ScalarWriter(save_dir, cfg.train.use_wandb, cfg.train.wandb_project,
                           cfg.train.exp_name, config_to_dict(cfg),
                           enabled=is_main)
-    timer = StepTimer()
+    # Rate window tied to the print cadence so the very first printed line
+    # already carries a real img/s (a fixed 50-step window logged 0.0 for
+    # any shorter print interval / short smoke runs).
+    timer = StepTimer(window=min(50, max(1, cfg.train.print_iters)))
 
     train_loss, train_loss_count = 0.0, 0
     pending_losses: list = []  # device scalars; fetched at print cadence so
@@ -250,9 +256,12 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
 def _broadcast_str(s) -> "str | None":
     """Broadcast rank 0's (possibly None) string to every process."""
     from jax.experimental import multihost_utils
-    buf = np.zeros(512, np.uint8)
+    cap = 4096
+    buf = np.zeros(cap, np.uint8)
     if s:
-        b = s.encode()[:512]
+        b = s.encode()
+        if len(b) > cap:  # never silently truncate a checkpoint path
+            raise ValueError(f"broadcast string exceeds {cap} bytes: {s!r}")
         buf[:len(b)] = np.frombuffer(b, np.uint8)
     out = bytes(np.asarray(multihost_utils.broadcast_one_to_all(buf)))
     out = out.rstrip(b"\x00").decode()

@@ -57,3 +57,17 @@ def test_attention_module_runs_with_explicit_xla():
     attn_auto = Attention(num_heads=6, attn_impl="auto", dtype=jnp.float32)
     y2 = attn_auto.apply(params, x)
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+def test_explicit_flash_validates_shapes(monkeypatch):
+    """Explicit 'flash' must get the same shape gates 'auto' enforces —
+    a clear ValueError instead of an opaque Mosaic block-shape failure
+    (regression: only 'auto' checked N/head_dim tiling)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_attn_impl("flash", 512, 128) == "flash"
+    with pytest.raises(ValueError, match="multiples of"):
+        resolve_attn_impl("flash", 320, 128)   # N % 128 != 0
+    with pytest.raises(ValueError, match="multiples of"):
+        resolve_attn_impl("flash", 512, 64)    # head_dim % 128 != 0
+    with pytest.raises(ValueError, match="fuse"):
+        resolve_attn_impl("flash", 512, 128, fused=True)

@@ -188,3 +188,31 @@ def test_train_loader_epoch_sampling_threadsafe():
         assert all(b["image"].shape == (4, 64, 256, 1) for b in batches)
     finally:
         loader.close()
+
+
+def test_train_loader_surfaces_worker_errors():
+    """A worker exception must raise in __next__, not deadlock the consumer
+    (regression: the reordering buffer waited forever on a batch index whose
+    builder thread died)."""
+    import pytest
+
+    cfg = DataConfig(dataset="SYNTH", synth_train_size=16, img_size=(64, 256))
+    ds = build_dataset(cfg, "train")
+    conv = make_converter(cfg, ds)
+
+    class Broken:
+        labels = ds.labels
+
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            raise OSError("corrupt image")
+
+    loader = TrainLoader(Broken(), conv, batch_size=4, max_label_len=32,
+                         num_threads=2)
+    try:
+        with pytest.raises(RuntimeError, match="failed building batch"):
+            next(loader)
+    finally:
+        loader.close()

@@ -358,3 +358,26 @@ def test_golden_scores_indexed_path(golden_path):
         got = idx.cond_batch(np.array(ctxs, np.int32),
                              np.array(ids, np.int32)).sum()
         assert abs(got - want) < 1e-5, (sent, got, want)
+
+
+def test_indexed_cond_mid_context_negative(arpa_path):
+    """A negative id MID-context breaks the n-gram: both the native index and
+    the Python fallback must score with only the suffix AFTER the hole
+    (regression: the fallback used to filter negatives out, so ctx [the, -1]
+    scored p(w|the) while the C++ scored the unigram p(w))."""
+    scorer = NgramScorer(arpa_path)
+    vocab = ["the", "cat", "dog", "zebra"]
+    idx = scorer.indexed(vocab)
+    ctx = np.array([[0, -1], [-1, 0], [0, -1]], np.int32)  # [the, HOLE], ...
+    words = np.array([1, 1, 2], np.int32)                  # cat, cat, dog
+    want = [scorer.cond([], "cat"),       # hole kills the left context
+            scorer.cond(["the"], "cat"),  # leading hole is just trimmed
+            scorer.cond([], "dog")]
+    for forced_fallback in ([False, True] if idx._idx is not None else [True]):
+        if forced_fallback:
+            idx._idx = None  # force the pure-Python path
+        got = idx.cond_batch(ctx, words)
+        for i, w in enumerate(want):
+            assert abs(got[i] - w) < 1e-5, (forced_fallback, i)
+    # the hole must actually change the score vs the filtered-context reading
+    assert abs(want[0] - scorer.cond(["the"], "cat")) > 1e-3

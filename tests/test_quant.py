@@ -192,3 +192,41 @@ def test_quantized_conformer_eval_close_to_float():
                           img, train=False)
         rel_s = float(jnp.linalg.norm(ys - yf) / (jnp.linalg.norm(yf) + 1e-9))
         assert rel_s < 0.15, (encoder, rel_s)
+
+
+def test_calibrate_quant_stats_running_max():
+    """The shared calibration helper (ops/quant.py:calibrate_quant_stats,
+    used by cli/{test,export,serve}.py and bench tools) must take the
+    RUNNING abs-max across batches — a single batch can under-estimate the
+    scale and silently clip later activations (ADVICE r2) — and honor
+    n_batches."""
+    import dataclasses
+
+    from htr_vt_tpu.config import MaskConfig, ModelConfig
+    from htr_vt_tpu.models.htr_vt import HTRVT
+    from htr_vt_tpu.ops.quant import calibrate_quant_stats
+
+    rng = np.random.default_rng(7)
+    cfg = ModelConfig(nb_cls=8, img_size=(64, 128), embed_dim=64, depth=1,
+                      num_heads=2, compute_dtype="float32", quant="int8",
+                      masking=MaskConfig(mode="none"))
+    model = HTRVT(cfg)
+    small = jnp.asarray(rng.random((2, 64, 128, 1)), jnp.float32) * 0.1
+    big = small * 10.0
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "mask": key, "dropout": key},
+                           small, train=False)
+    base = {"params": variables["params"],
+            "batch_stats": variables["batch_stats"]}
+
+    s_small = calibrate_quant_stats(model, base, [small], 1)
+    s_both = calibrate_quant_stats(model, base, [small, big], 2)
+    s_rev = calibrate_quant_stats(model, base, [big, small], 2)
+    leaves = lambda s: np.array([float(v) for v in jax.tree.leaves(s)])
+    assert (leaves(s_both) >= leaves(s_small)).all()
+    assert (leaves(s_both) > leaves(s_small)).any()  # big batch raised amax
+    # order-independent: running max, not last-batch-wins
+    np.testing.assert_allclose(leaves(s_both), leaves(s_rev), rtol=1e-6)
+    # n_batches truncates the iterable
+    s_trunc = calibrate_quant_stats(model, base, [small, big], 1)
+    np.testing.assert_allclose(leaves(s_trunc), leaves(s_small), rtol=1e-6)

@@ -120,3 +120,16 @@ def test_resume_is_stream_and_trajectory_exact(tmp_path):
     for a, b in zip(jax.tree.leaves(s_full.ema_params),
                     jax.tree.leaves(s_split.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
+def test_broadcast_str_roundtrip_and_overflow():
+    """_broadcast_str: identity on 1 process; refuses (never truncates) paths
+    beyond the buffer (regression: >512-byte paths were silently cut)."""
+    import pytest
+
+    from htr_vt_tpu.train.loop import _broadcast_str
+    assert _broadcast_str(None) is None
+    p = "/some/run/dir/checkpoint_0.0123_0.0456_98000"
+    assert _broadcast_str(p) == p
+    with pytest.raises(ValueError, match="exceeds"):
+        _broadcast_str("/x" * 3000)

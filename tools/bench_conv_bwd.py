@@ -17,8 +17,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/htrvt_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from htr_vt_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from htr_vt_tpu.ops.conv_fused import (conv3x3_bn_relu,
                                            conv3x3_bn_relu_reference)

@@ -26,8 +26,8 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/htrvt_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from htr_vt_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     dn = ("NHWC", "HWIO", "NHWC")
     rng = np.random.default_rng(0)
