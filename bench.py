@@ -33,8 +33,8 @@ def main() -> None:
 
     # Persistent compile cache: compiles of this program are slow through the
     # remote-compile tunnel and occasionally wedge; caching makes reruns fast.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/htrvt_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from htr_vt_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     from htr_vt_tpu.config import ExperimentConfig, MaskConfig, ModelConfig, OptimConfig
     from htr_vt_tpu.models.htr_vt import HTRVT
@@ -121,10 +121,12 @@ def main() -> None:
     try:
         from htr_vt_tpu.ops.decode import greedy_decode
 
-        def bench_infer(quant):
+        def bench_infer(quant, width=512):
             import dataclasses
-            mcfg = dataclasses.replace(cfg.model, quant=quant)
+            mcfg = dataclasses.replace(cfg.model, quant=quant,
+                                       img_size=(64, width))
             imodel = HTRVT(mcfg)
+            image = batch["image"][:, :, :width]
             extra = {}
             if quant == "int8":
                 def calib(p, b, img):
@@ -133,7 +135,7 @@ def main() -> None:
                         mutable=["quant_stats"])
                     return mut["quant_stats"]
                 extra["quant_stats"] = jax.jit(calib)(
-                    state.ema_params, state.ema_batch_stats, batch["image"])
+                    state.ema_params, state.ema_batch_stats, image)
 
             @jax.jit
             def infer(p, b, img):
@@ -141,18 +143,26 @@ def main() -> None:
                     {"params": p, "batch_stats": b, **extra}, img,
                     train=False))
 
-            out = infer(state.ema_params, state.ema_batch_stats,
-                        batch["image"])
+            out = infer(state.ema_params, state.ema_batch_stats, image)
             np.asarray(jax.tree.leaves(out)[0])
             t0 = time.perf_counter()
             for _ in range(30):
-                out = infer(state.ema_params, state.ema_batch_stats,
-                            batch["image"])
+                out = infer(state.ema_params, state.ema_batch_stats, image)
             np.asarray(jax.tree.leaves(out)[0])
             return 30 * batch_size / (time.perf_counter() - t0)
 
         record["infer_images_per_sec"] = round(bench_infer("none"), 1)
-        record["infer_int8_images_per_sec"] = round(bench_infer("int8"), 1)
+        r512 = bench_infer("int8")
+        record["infer_int8_images_per_sec"] = round(r512, 1)
+
+        # Width-bucketed serving (cli/serve.py --width-buckets): short lines
+        # route to a 256-px compiled program at ~2x the rate instead of
+        # paying the flat 512-px cost the reference charges every line
+        # (model_v1/data/dataset.py:104-111). Report the hard per-bucket
+        # rate here; workload-effective numbers (which depend on a length
+        # mix) live in tools/bench_serve_buckets.py with the mix documented.
+        record["infer_int8_256px_images_per_sec"] = round(
+            bench_infer("int8", width=256), 1)
     except Exception as e:  # pragma: no cover - defensive
         record["infer_error"] = str(e)[:200]
 
