@@ -51,6 +51,11 @@ def main() -> None:
                              "transcriptions (smoke-tests a checkpoint + "
                              "bucket config without data)")
     parser.add_argument("--selftest-n", type=int, default=16)
+    parser.add_argument("--selftest-max-chars", type=int, default=96,
+                        help="cap the selftest length ramp (default 6..96 "
+                             "chars); set to the trained recipe's max line "
+                             "length to score the in-distribution workload "
+                             "separately from the beyond-range one")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--arpa", type=str, default=None,
                         help="optional ARPA LM for beam rescoring")
@@ -74,16 +79,18 @@ def main() -> None:
 
         from PIL import Image
 
-        from htr_vt_tpu.data.synthetic import random_text, render_line
+        from htr_vt_tpu.data.synthetic import (random_text, render_line,
+                                               selftest_canvas_width,
+                                               selftest_max_len)
         sdir = tempfile.mkdtemp(prefix="htrvt_selftest_")
         srng = np.random.default_rng(0)
         alphabet = cfg.data.synth_alphabet
         paths = []
         for i in range(args.selftest_n):
-            max_len = 6 + (i * 90) // max(1, args.selftest_n - 1)
             text = random_text(srng, alphabet, min_len=4,
-                               max_len=max(5, max_len))
-            w = max(64, len(text) * 24 + 32)
+                               max_len=min(args.selftest_max_chars,
+                                           selftest_max_len(i, args.selftest_n)))
+            w = selftest_canvas_width(len(text))
             img, drawn = render_line(text, 64, w, rng=srng, return_drawn=True)
             p = os.path.join(sdir, f"line_{i:03d}.png")
             Image.fromarray(img).save(p)

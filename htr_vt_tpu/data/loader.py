@@ -235,8 +235,10 @@ class TrainLoader:
                 self._cv.notify_all()
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        while True:
-            yield next(self)
+        # NOT a generator: a generator wrapping __next__ would convert the
+        # StopIteration raised after close() into RuntimeError (PEP 479),
+        # breaking consumers' natural end-of-stream handling.
+        return self
 
     def __next__(self) -> Dict[str, np.ndarray]:
         with self._cv:

@@ -19,13 +19,19 @@ _FONTS = (cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_COMPLEX,
 
 def render_line(text: str, height: int = 64, width: int = 512,
                 rng: Optional[np.random.Generator] = None,
-                return_drawn: bool = False):
+                return_drawn: bool = False, draw: bool = True):
     """Render ``text`` onto a white uint8 [height, width] canvas with random
     font/slant/thickness/baseline wobble. With ``return_drawn`` also returns
     how many characters actually landed on the canvas (rendering stops at the
-    right edge), so callers can trim labels to the visible text."""
+    right edge), so callers can trim labels to the visible text.
+
+    ``draw=False`` skips canvas allocation and rasterization but consumes the
+    rng IDENTICALLY (putText itself draws from no randomness), so the drawn
+    count matches a real render with the same rng — the cheap way to measure
+    how much of a label fits (trim_to_canvas) without paying cv2.putText per
+    glyph twice."""
     rng = rng or np.random.default_rng(abs(hash(text)) % (2**31))
-    canvas = np.full((height, width), 255, np.uint8)
+    canvas = np.full((height, width), 255, np.uint8) if draw else None
     font = _FONTS[int(rng.integers(0, len(_FONTS)))]
     scale = float(rng.uniform(0.9, 1.3))
     thickness = int(rng.integers(1, 3))
@@ -38,7 +44,9 @@ def render_line(text: str, height: int = 64, width: int = 512,
             drawn += 1
             continue
         y = base_y + int(rng.integers(-3, 4))
-        cv2.putText(canvas, ch, (x, y), font, scale, 0, thickness, cv2.LINE_AA)
+        if draw:
+            cv2.putText(canvas, ch, (x, y), font, scale, 0, thickness,
+                        cv2.LINE_AA)
         (w, _), _ = cv2.getTextSize(ch, font, scale, thickness)
         x += w + int(rng.integers(-2, 3))
         drawn += 1
@@ -47,6 +55,23 @@ def render_line(text: str, height: int = 64, width: int = 512,
     if return_drawn:
         return canvas, drawn
     return canvas
+
+
+# --- serve --selftest workload (shared with tools/bench_serve_buckets.py so
+# the benchmark's length mix IS the workload whose CER the selftest scores) --
+
+SELFTEST_PX_PER_CHAR = 24
+SELFTEST_PAD_PX = 32
+
+
+def selftest_max_len(i: int, n: int) -> int:
+    """Max text length for selftest line i of n: a 6..96-char ramp."""
+    return max(5, 6 + (i * 90) // max(1, n - 1))
+
+
+def selftest_canvas_width(n_chars: int) -> int:
+    """Natural canvas width for a selftest line of n_chars characters."""
+    return max(64, n_chars * SELFTEST_PX_PER_CHAR + SELFTEST_PAD_PX)
 
 
 def random_text(rng: np.random.Generator, alphabet: str,
@@ -78,10 +103,14 @@ class SyntheticLineDataset:
             # there); trim each label to the characters that actually render
             # so image and label agree. Used by the multi-width recipe where
             # texts are sized for wide canvases (tools/train_multiwidth.py).
+            # draw=False measures the glyph-advance loop with identical rng
+            # consumption but no rasterization: construction stays O(text)
+            # in getTextSize calls instead of paying a full render per
+            # sample before training starts.
             for i in range(size):
                 r = np.random.default_rng(int(self._seeds[i]))
                 _, drawn = render_line(self.labels[i], height, width, r,
-                                       return_drawn=True)
+                                       return_drawn=True, draw=False)
                 self.labels[i] = self.labels[i][:drawn].strip() or self.labels[i][:1]
 
     def __len__(self) -> int:

@@ -252,6 +252,19 @@ def prefix_beam_search_batch(log_probs: np.ndarray, beam_width: int = 10,
             pool_char = np.where(take_next, nxt_char, pool_char)
             pool_pb = np.where(is_second, NEG, pool_pb)
             pool_pnb = np.where(is_second, NEG, pool_pnb)
+            # A killed duplicate keeps -inf mass but must NOT keep the
+            # survivor's hash: when beam_width exceeds the live candidate
+            # count (tiny alphabets / small top_k_per_frame) the dead row is
+            # re-selected as beam filler, and next frame THREE pool entries
+            # share one hash — the adjacent-pair merge above only handles
+            # pairs, so the third entry's mass would merge into a row that
+            # is then killed (probability-mass loss vs prefix_beam_search).
+            # Unique low-integer sentinels live in a space real 64-bit FNV
+            # hashes essentially never occupy.
+            n_pool = pool_hash.shape[1]
+            kill_ids = (np.uint64(t) * np.uint64(n_pool) + np.uint64(1) +
+                        np.arange(n_pool, dtype=np.uint64))[None, :]
+            pool_hash = np.where(is_second, kill_ids, pool_hash)
 
             # --- select top-K by total ------------------------------------
             pool_total = np.logaddexp(pool_pb, pool_pnb)

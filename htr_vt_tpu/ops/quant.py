@@ -113,11 +113,26 @@ def calibrate_quant_stats(model, base_vars: dict, image_batches,
     cli/{test,export,serve}.py so the calibration scheme has one home.
     """
     calib_fn = jax.jit(lambda img, stats: model.apply(
-        {**base_vars, **({"quant_stats": stats} if stats else {})},
+        {**base_vars, "quant_stats": stats},
         img, train=False, mutable=["quant_stats"])[1]["quant_stats"])
-    stats = {}
+    stats = None
     for bi, img in enumerate(image_batches):
         if bi >= max(1, n_batches):
             break
-        stats = calib_fn(jnp.asarray(img), stats)
-    return stats
+        img = jnp.asarray(img)
+        if stats is None:
+            # Seed the stats pytree with zeros of the right structure so
+            # every batch runs the SAME compiled program (passing {} on the
+            # first call changes the traced input structure and costs a
+            # second full-model compile — tens of seconds on TPU).
+            # eval_shape is trace-only: no compile, no device work. Zeros
+            # are the running-max identity, so batch 0's result is
+            # unchanged.
+            shapes = jax.eval_shape(
+                lambda im: model.apply(base_vars, im, train=False,
+                                       mutable=["quant_stats"])[1]
+                ["quant_stats"], img)
+            stats = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                 shapes)
+        stats = calib_fn(img, stats)
+    return stats if stats is not None else {}

@@ -36,14 +36,31 @@ def maybe_initialize_distributed() -> None:
     jax_platforms first) and still run fit()."""
     if not os.environ.get("HTRVT_COORDINATOR"):
         return
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized
-    jax.distributed.initialize(
-        coordinator_address=os.environ["HTRVT_COORDINATOR"],
-        num_processes=int(os.environ.get("HTRVT_NUM_PROCESSES", "1")),
-        process_id=int(os.environ.get("HTRVT_PROCESS_ID", "0")),
-    )
+    # Idempotency fast path: when the caller initialized distributed itself
+    # (e.g. to set jax_platforms before first backend touch), a second
+    # initialize() does NOT raise the "called once" error — if the backend
+    # has been touched since, it raises "must be called before any JAX
+    # calls", which is indistinguishable from a real ordering bug. The
+    # client check is private API, so fall through to the public call if it
+    # moves.
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
+    except Exception:
+        pass
+    try:
+        jax.distributed.initialize(
+            coordinator_address=os.environ["HTRVT_COORDINATOR"],
+            num_processes=int(os.environ.get("HTRVT_NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("HTRVT_PROCESS_ID", "0")),
+        )
+    except RuntimeError as e:
+        # Public-API idempotency backstop (only reachable if the private
+        # check above failed): a duplicate initialize() raises "should only
+        # be called once". Anything else is a real failure.
+        if "once" not in str(e) and "already" not in str(e):
+            raise
 
 
 def make_mesh(cfg: ParallelConfig = ParallelConfig(),

@@ -29,6 +29,20 @@ from htr_vt_tpu.train.state import TrainState
 _CKPT_RE = re.compile(r"checkpoint_(?P<cer>[\d.]+)_(?P<wer>[\d.]+)_(?P<iter>\d+)$")
 
 
+def _leaf_path_set(tree) -> set:
+    """Normalized leaf-path strings of a pytree, comparable across container
+    flavors (dataclass attributes vs the nested dicts Orbax metadata
+    returns): each path element reduces to its bare key/attr/index name."""
+    def norm(entry):
+        for attr in ("key", "name", "idx"):
+            if hasattr(entry, attr):
+                return str(getattr(entry, attr))
+        return str(entry)
+
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {"/".join(norm(k) for k in kp) for kp, _ in flat}
+
+
 class CheckpointManager:
     def __init__(self, save_dir: str, keep: int = 5):
         self.save_dir = os.path.abspath(save_dir)
@@ -108,6 +122,7 @@ class CheckpointManager:
         best_CER/best_WER dir, or the save_dir (-> latest). Falls back to
         parsing metrics from the directory name like the reference's filename
         convention (model_v1/utils/utils.py:246-251)."""
+        path = os.path.abspath(path)  # Orbax/tensorstore requires absolute
         if os.path.basename(path) not in ("best_CER", "best_WER") and \
                 not _CKPT_RE.match(os.path.basename(path)):
             latest = self.latest_path()
@@ -121,18 +136,27 @@ class CheckpointManager:
             # The eval template may be a strict SUBTREE of the training
             # state — e.g. an SGM-trained checkpoint (params.sgm_head is a
             # training-only head, model_sgm_2/train.py:144-158) evaluated by
-            # cli/test without the SGM batch. Only a structure mismatch
-            # justifies retrying with partial_restore; anything else
-            # (corruption, IO) re-raises with the original cause.
-            msg = str(e)
-            if not any(s in msg for s in ("structure", "user-provided", "tree",
-                                          "KeyError", "not found in")):
+            # cli/test without the SGM batch. Only that case justifies
+            # retrying with partial_restore; anything else (corruption, IO,
+            # shape/dtype mismatch) re-raises with the original cause. The
+            # check is STRUCTURAL (template leaf paths vs the on-disk
+            # checkpoint's metadata tree), not error-message sniffing —
+            # Orbax rewords its messages across versions.
+            try:
+                md = self._ckptr.metadata(os.path.join(path, "state"))
+                disk_paths = _leaf_path_set(
+                    getattr(md, "item_metadata", md))
+            except Exception:
+                raise e
+            tmpl_paths = _leaf_path_set(abstract)
+            if not (tmpl_paths < disk_paths):
                 raise
             import logging
             logging.getLogger("htr_vt_tpu").info(
-                "strict restore failed (%s: %.120s); retrying with "
-                "partial_restore for a template-subtree match",
-                type(e).__name__, msg)
+                "strict restore failed (%s); template is a strict subtree of "
+                "the checkpoint (%d of %d leaves) — retrying with "
+                "partial_restore", type(e).__name__,
+                len(tmpl_paths), len(disk_paths))
             with ocp.PyTreeCheckpointer() as ck:
                 state = ck.restore(
                     os.path.join(path, "state"),

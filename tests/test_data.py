@@ -216,3 +216,23 @@ def test_train_loader_surfaces_worker_errors():
             next(loader)
     finally:
         loader.close()
+
+
+def test_train_loader_iter_stopiteration_after_close():
+    """iter(loader) must end with StopIteration after close(), not
+    RuntimeError('generator raised StopIteration') — PEP 479 converts the
+    exception inside a generator-based __iter__ (regression)."""
+    import pytest
+
+    cfg = DataConfig(dataset="SYNTH", synth_train_size=16, img_size=(64, 256))
+    ds = build_dataset(cfg, "train")
+    conv = make_converter(cfg, ds)
+    loader = TrainLoader(ds, conv, batch_size=4, max_label_len=32,
+                         num_threads=1)
+    it = iter(loader)
+    assert it is loader
+    next(it)  # stream works
+    loader.close()
+    with pytest.raises(StopIteration):
+        while True:
+            next(it)

@@ -381,3 +381,28 @@ def test_indexed_cond_mid_context_negative(arpa_path):
             assert abs(got[i] - w) < 1e-5, (forced_fallback, i)
     # the hole must actually change the score vs the filtered-context reading
     assert abs(want[0] - scorer.cond(["the"], "cat")) > 1e-3
+
+
+def test_prefix_beam_batch_tiny_alphabet_overwide_beam():
+    """beam_width > the live candidate count (tiny alphabets) re-selects
+    killed duplicate rows as beam filler; if those keep the survivor's hash,
+    three pool entries share one hash next frame and the pairwise merge
+    loses probability mass (regression: scores diverged from
+    prefix_beam_search by up to ~1.0 log-prob at C=3)."""
+    from htr_vt_tpu.decode.beam import (prefix_beam_search,
+                                        prefix_beam_search_batch)
+
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        logp = rng.normal(size=(2, 6, 3))
+        logp = logp - np.log(np.exp(logp).sum(-1, keepdims=True))
+        for bw in (10, 7, 4):
+            batched = prefix_beam_search_batch(logp, beam_width=bw)
+            for bi in range(2):
+                want = {tuple(s): v
+                        for s, v in prefix_beam_search(logp[bi], beam_width=bw)}
+                got = {tuple(s): v for s, v in batched[bi]}
+                shared = set(want) & set(got)
+                assert shared
+                for kk in shared:
+                    assert abs(want[kk] - got[kk]) < 1e-9, (trial, bw, bi, kk)

@@ -34,18 +34,22 @@ import numpy as np
 REFERENCE_INFER_IMGS_PER_SEC = 1300.0  # same 4090 estimate as bench_infer.py
 
 
-def workload_mix(buckets, n=4096, seed=0):
-    """Bucket mix of the serve --selftest workload, replicated exactly
-    (cli/serve.py:82-87): max_len ramps 6..96 over the job, the line length
-    is uniform in [4, max_len], natural width = chars*24 + 32, routed to the
-    smallest bucket that holds the width (capped at the largest, like
+def workload_mix(buckets, n=4096, seed=0,
+                 alphabet="abcdefghijklmnopqrstuvwxyz '"):
+    """Bucket mix of the serve --selftest workload, using the SAME generator
+    helpers cli/serve.py uses (htr_vt_tpu.data.synthetic.selftest_*): the
+    max length ramps 6..96 over the job, the line length is uniform in
+    [4, max_len], natural width = chars*24 + 32, routed to the smallest
+    bucket that holds the width (capped at the largest, like
     assign_width_buckets)."""
+    from htr_vt_tpu.data.synthetic import (random_text, selftest_canvas_width,
+                                           selftest_max_len)
     rng = np.random.default_rng(seed)
     counts = {b: 0 for b in buckets}
     for i in range(n):
-        max_len = 6 + (i * 90) // max(1, n - 1)
-        chars = int(rng.integers(4, max(5, max_len) + 1))
-        w = max(64, chars * 24 + 32)
+        text = random_text(rng, alphabet, min_len=4,
+                           max_len=selftest_max_len(i, n))
+        w = selftest_canvas_width(len(text))
         b = next((b for b in sorted(buckets) if w <= b), max(buckets))
         counts[b] += 1
     return {b: c / n for b, c in counts.items()}
