@@ -58,7 +58,9 @@ def main() -> None:
                              "separately from the beyond-range one")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--arpa", type=str, default=None,
-                        help="optional ARPA LM for beam rescoring")
+                        help="optional n-gram LM for beam rescoring: ARPA "
+                             "text or compiled .htlm "
+                             "(htr_vt_tpu.decode.lm_compile)")
     parser.add_argument("--beam-width", type=int, default=5)
     parser.add_argument("--lm-weight", type=float, default=1.0)
     parser.add_argument("--out", type=str, default=None)

@@ -38,11 +38,13 @@ def main() -> None:
     parser = build_parser("htr_vt_tpu LM-rescored evaluator")
     parser.add_argument("--checkpoint", type=str, required=True)
     parser.add_argument("--arpa", type=str, required=True,
-                        help="n-gram LM in ARPA TEXT format (train one with "
-                             "decode/lm_train.py, or kenlm's lmplz -o N). "
-                             "kenlm's compiled .binary/.klm files are NOT "
-                             "supported — convert with kenlm's "
-                             "`build_binary -? / dump` or re-export ARPA")
+                        help="n-gram LM: ARPA TEXT (train one with "
+                             "decode/lm_train.py, or kenlm's lmplz -o N) or "
+                             "this framework's compiled .htlm binary "
+                             "(python -m htr_vt_tpu.decode.lm_compile; "
+                             "bit-identical scores, faster load). "
+                             "kenlm's own compiled .binary/.klm files are "
+                             "NOT supported — re-export ARPA and compile")
     parser.add_argument("--beam-width", type=int, default=5)
     parser.add_argument("--lm-weight", type=float, default=1.0)
     parser.add_argument("--ctc-weight", type=float, default=0.0)

@@ -15,12 +15,21 @@ from typing import List, Optional, Sequence, Tuple
 from htr_vt_tpu.native.build import load_native
 
 
+#: magic prefix of this framework's compiled LM format (.htlm); see
+#: native/ngram_lm.cpp for the layout. kenlm's own .bin is a private format
+#: we cannot validate against in this image — export ARPA from kenlm and
+#: compile it here (python -m htr_vt_tpu.decode.lm_compile).
+BINARY_MAGIC = b"HTRVTLM1"
+
+
 class NgramScorer:
     """kenlm.Model-compatible sentence scorer over an ARPA file.
 
     score(text) returns total log10 probability including </s>, like
-    kenlm.Model.score. Uses the C++ backoff scorer; falls back to a pure
-    Python ARPA implementation when the native library is unavailable.
+    kenlm.Model.score. Accepts either ARPA text or a compiled .htlm binary
+    (sniffed by magic, like kenlm.Model does for its .bin). Uses the C++
+    backoff scorer; falls back to a pure Python implementation when the
+    native library is unavailable.
     """
 
     def __init__(self, arpa_path: str):
@@ -31,6 +40,15 @@ class NgramScorer:
             self._handle = self._lib.htrvt_ngram_load(arpa_path.encode())
         if not self._handle:
             self._py = _PythonArpa(arpa_path)
+
+    def save_binary(self, path: str) -> None:
+        """Compile this model to the .htlm binary format: bit-identical
+        scores, much faster to load than re-parsing ARPA text."""
+        if self._handle:
+            if not self._lib.htrvt_ngram_save(self._handle, path.encode()):
+                raise IOError(f"failed to write compiled LM to {path}")
+            return
+        self._py.save_binary(path)
 
     @property
     def order(self) -> int:
@@ -145,13 +163,18 @@ class IndexedNgram:
 
 
 class _PythonArpa:
-    """Minimal ARPA backoff model (fallback path; same semantics as the C++)."""
+    """Minimal ARPA backoff model (fallback path; same semantics as the C++).
+    Reads both ARPA text and the compiled .htlm binary (magic-sniffed)."""
 
     UNK_FLOOR = -10.0
 
     def __init__(self, path: str):
         self.table = {}
         self.order = 0
+        with open(path, "rb") as f:
+            if f.read(len(BINARY_MAGIC)) == BINARY_MAGIC:
+                self._load_binary(f)
+                return
         current_n, in_grams = 0, False
         with open(path, encoding="utf-8", errors="replace") as f:
             for line in f:
@@ -177,6 +200,33 @@ class _PythonArpa:
                 words = " ".join(parts[1:1 + current_n])
                 bo = float(parts[1 + current_n]) if len(parts) > current_n + 1 else 0.0
                 self.table[words] = (lp, bo)
+
+    def _load_binary(self, f) -> None:
+        """Parse the .htlm layout (native/ngram_lm.cpp); f sits past magic."""
+        import struct
+        order, has_unk, n = struct.unpack("<IBQ", f.read(13))
+        if order == 0:
+            raise ValueError("corrupt compiled LM: order 0")
+        self.order = int(order)
+        del has_unk  # implied by a '<unk>' key in the table
+        for _ in range(n):
+            (klen,) = struct.unpack("<I", f.read(4))
+            key = f.read(klen).decode("utf-8")
+            lp, bo = struct.unpack("<ff", f.read(8))
+            self.table[key] = (lp, bo)
+
+    def save_binary(self, path: str) -> None:
+        """Write the .htlm layout; byte-compatible with the C++ writer."""
+        import struct
+        with open(path, "wb") as f:
+            f.write(BINARY_MAGIC)
+            f.write(struct.pack("<IBQ", self.order,
+                                1 if "<unk>" in self.table else 0,
+                                len(self.table)))
+            for key, (lp, bo) in self.table.items():
+                kb = key.encode("utf-8")
+                f.write(struct.pack("<I", len(kb)) + kb +
+                        struct.pack("<ff", lp, bo))
 
     def _cond(self, ctx: List[str], word: str) -> float:
         for start in range(len(ctx) + 1):

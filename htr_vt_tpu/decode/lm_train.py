@@ -93,6 +93,11 @@ def train_ngram_arpa(texts: Sequence[str], out_path: str, order: int = 3,
                     line += f"\t{bow:.6f}"
                 f.write(line + "\n")
         f.write("\n\\end\\\n")
+    if out_path.endswith(".htlm"):
+        # Caller asked for the compiled form directly: the ARPA text above
+        # was written to out_path; recompile it in place (decode/lm_compile).
+        from htr_vt_tpu.decode.lm import NgramScorer
+        NgramScorer(out_path).save_binary(out_path)
     return ngram_counts
 
 

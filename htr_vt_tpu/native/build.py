@@ -79,6 +79,9 @@ def _configure(lib: ctypes.CDLL) -> None:
         lib.htrvt_ngram_score.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.htrvt_ngram_order.restype = ctypes.c_int
         lib.htrvt_ngram_order.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "htrvt_ngram_save"):
+        lib.htrvt_ngram_save.restype = ctypes.c_int
+        lib.htrvt_ngram_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     if hasattr(lib, "htrvt_ngram_cond"):
         i32p = ctypes.POINTER(ctypes.c_int32)
         lib.htrvt_ngram_cond.restype = ctypes.c_double

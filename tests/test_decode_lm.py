@@ -406,3 +406,102 @@ def test_prefix_beam_batch_tiny_alphabet_overwide_beam():
                 assert shared
                 for kk in shared:
                     assert abs(want[kk] - got[kk]) < 1e-9, (trial, bw, bi, kk)
+
+
+# ---- compiled .htlm binary format (native/ngram_lm.cpp v1) ------------------
+
+
+def test_binary_roundtrip_python(golden_path, tmp_path):
+    """_PythonArpa save_binary -> reload reproduces every golden score
+    (f32 storage: tolerance covers the text-float -> f32 narrowing)."""
+    lm = _PythonArpa(golden_path)
+    out = str(tmp_path / "golden.htlm")
+    lm.save_binary(out)
+    back = _PythonArpa(out)
+    assert back.order == lm.order
+    assert set(back.table) == set(lm.table)
+    for sent, want in GOLDEN_CASES:
+        assert abs(back.score(sent) - want) < 1e-5, sent
+
+
+def test_binary_roundtrip_native(golden_path, tmp_path):
+    """Native save -> magic-sniffed load is bit-identical to the ARPA parse
+    (both store f32), for score() and for the id-indexed beam path."""
+    from htr_vt_tpu.native.build import load_native
+    if load_native() is None:
+        pytest.skip("no native lib")
+    scorer = NgramScorer(golden_path)
+    assert scorer._handle  # exercising the C++ path, not the fallback
+    out = str(tmp_path / "golden_native.htlm")
+    scorer.save_binary(out)
+    compiled = NgramScorer(out)
+    assert compiled._handle
+    assert compiled.order == scorer.order
+    for sent, want in GOLDEN_CASES:
+        assert compiled.score(sent) == scorer.score(sent), sent
+        assert abs(compiled.score(sent) - want) < 1e-5, sent
+    vocab = ["the", "cat", "sat", "zebra"]
+    idx_a, idx_b = scorer.indexed(vocab), compiled.indexed(vocab)
+    ctx = np.array([[4, 0], [-1, 4], [0, 1], [3, 3]], np.int32)  # 4 = <s>
+    words = np.array([0, 1, 2, 3], np.int32)
+    np.testing.assert_array_equal(idx_a.cond_batch(ctx, words),
+                                  idx_b.cond_batch(ctx, words))
+
+
+def test_binary_cross_writer(golden_path, tmp_path):
+    """The Python-written binary parses in C++ and vice versa — one format."""
+    from htr_vt_tpu.native.build import load_native
+    if load_native() is None:
+        pytest.skip("no native lib")
+    py_out = str(tmp_path / "py.htlm")
+    _PythonArpa(golden_path).save_binary(py_out)
+    native_reader = NgramScorer(py_out)
+    assert native_reader._handle
+    nat_out = str(tmp_path / "nat.htlm")
+    NgramScorer(golden_path).save_binary(nat_out)
+    py_reader = _PythonArpa(nat_out)
+    for sent, want in GOLDEN_CASES:
+        assert abs(native_reader.score(sent) - want) < 1e-5, sent
+        assert abs(py_reader.score(sent) - want) < 1e-5, sent
+
+
+def test_binary_corrupt_rejected(tmp_path):
+    """Truncated/garbage compiled files fail loudly, not with a bad model."""
+    from htr_vt_tpu.decode.lm import BINARY_MAGIC
+    bad = tmp_path / "bad.htlm"
+    bad.write_bytes(BINARY_MAGIC + b"\x03\x00")  # truncated header
+    with pytest.raises(Exception):
+        _PythonArpa(str(bad))
+    from htr_vt_tpu.native.build import load_native
+    lib = load_native()
+    if lib is not None:
+        assert not lib.htrvt_ngram_load(str(bad).encode())
+
+
+def test_lm_compile_cli(golden_path, tmp_path, capsys):
+    import sys
+
+    from htr_vt_tpu.decode import lm_compile
+    out = str(tmp_path / "cli.htlm")
+    old = sys.argv
+    try:
+        sys.argv = ["lm_compile", golden_path, out, "--verify"]
+        lm_compile.main()
+    finally:
+        sys.argv = old
+    assert "verify OK" in capsys.readouterr().out
+    assert NgramScorer(out).order == 3
+
+
+def test_train_ngram_direct_to_htlm(tmp_path):
+    """train_ngram_arpa(..., 'x.htlm') ships the compiled form directly."""
+    from htr_vt_tpu.decode.lm import BINARY_MAGIC
+    from htr_vt_tpu.decode.lm_train import train_ngram_arpa
+    texts = ["hello world", "some words here"] * 3
+    arpa, htlm = str(tmp_path / "m.arpa"), str(tmp_path / "m.htlm")
+    train_ngram_arpa(texts, arpa, order=2)
+    train_ngram_arpa(texts, htlm, order=2)
+    assert open(htlm, "rb").read(8) == BINARY_MAGIC
+    a, b = NgramScorer(arpa), NgramScorer(htlm)
+    for s in ["hello world", "words", "zzz"]:
+        assert abs(a.score(s) - b.score(s)) < 1e-5, s
