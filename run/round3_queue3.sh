@@ -1,69 +1,48 @@
 #!/bin/bash
-# Round-3 TPU queue, stage 3 (after run/round3_queue2.sh):
-#   8. bundle-vs-live serving tax benchmark (tools/bench_bundle.py)
-#   9. deployment chain on the trained conformer checkpoint:
-#      export (int8) -> HTTP server -> concurrent curl smoke
+# Round-3 TPU queue, stage 3 (fifth session). Waits for the 3-bucket
+# multi-width run (512/1024/2048), then in sequence:
+#   1. BN-stats one-pass Pallas whole-step A/B (the queue2 item 5
+#      measurement that never got chip time) + standalone attribution
+#   2. serve --selftest over 512/1024/2048 buckets with the new multi-width
+#      checkpoint: does the 2048 bucket fix the full-ramp squeeze tail
+#      documented in docs/PERF.md?  (float + int8)
+#   3. encoder-zoo training sweep: every registered recipe, uniform budget
+#   4. final bench.py refresh
 set -x
 cd /root/repo
 WAIT_PID=${1:-}
 if [ -n "$WAIT_PID" ]; then
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
-  echo "stage-2 queue (pid $WAIT_PID) done"
+  echo "multi-width run (pid $WAIT_PID) done; chip is free"
   sleep 10
 fi
 
-echo "=== 8 bundle serving tax ==="
-timeout 3600 python tools/bench_bundle.py 2>&1 | tee /tmp/bench_bundle.log
+echo "=== 1 BN-stats impl A/B (whole step) ==="
+HTRVT_BN_STATS_IMPL=xla    timeout 1200 python bench.py > /tmp/bench_bnstats_xla.json 2>/tmp/bench_bnstats_xla.err
+HTRVT_BN_STATS_IMPL=pallas timeout 1200 python bench.py > /tmp/bench_bnstats_pallas.json 2>/tmp/bench_bnstats_pallas.err
+timeout 1200 python tools/bench_bn_stats.py > /tmp/bench_bnstats_attrib.txt 2>&1
 
-echo "=== 9a export conformer bundle (int8) ==="
-timeout 3600 python -m htr_vt_tpu.cli.export SYNTH \
-    --encoder conformer --sgm-enable \
-    --synth-alphabet "abcdefghijklmnopqrstuvwxyz '" \
-    --synth-train-size 4096 --synth-eval-size 512 \
-    --checkpoint output/conformer_long/best_CER \
-    --out output/conformer_long/bundle --batch-size 64 \
-    --quant int8 --platforms tpu --verify 2>&1 | tee /tmp/export_conformer.log
+CKPT=/root/repo/output/multiwidth3/best_CER
+echo "=== 2a serve selftest: full ramp to 108 chars, 3 buckets, float ==="
+timeout 2400 python -m htr_vt_tpu.cli.serve --checkpoint $CKPT \
+    --selftest --selftest-n 64 --selftest-max-chars 108 \
+    --width-buckets 512,1024,2048 \
+    --out /tmp/serve3_fullramp_float.json
+echo "=== 2b same, int8 ==="
+timeout 2400 python -m htr_vt_tpu.cli.serve --checkpoint $CKPT \
+    --selftest --selftest-n 64 --selftest-max-chars 108 \
+    --width-buckets 512,1024,2048 --quant int8 \
+    --out /tmp/serve3_fullramp_int8.json
+echo "=== 2c control: same workload capped at 1024 (old recipe's ceiling) ==="
+timeout 2400 python -m htr_vt_tpu.cli.serve --checkpoint $CKPT \
+    --selftest --selftest-n 64 --selftest-max-chars 108 \
+    --width-buckets 512,1024 \
+    --out /tmp/serve3_fullramp_1024cap.json
 
-echo "=== 9b HTTP server smoke over the bundle ==="
-timeout 1200 python - <<'EOF' 2>&1 | tee /tmp/server_smoke.log
-import io, json, threading, time, urllib.request
-import numpy as np
-from PIL import Image
-from htr_vt_tpu.cli.server import serve
-from htr_vt_tpu.data.synthetic import render_line, random_text
+echo "=== 3 encoder zoo sweep ==="
+timeout 14400 python tools/zoo_sweep.py --out output/zoo_sweep
 
-httpd, worker = serve("output/conformer_long/bundle", port=0,
-                      batch_wait_ms=50.0)
-threading.Thread(target=httpd.serve_forever, daemon=True).start()
-url = f"http://127.0.0.1:{httpd.server_address[1]}"
-rng = np.random.default_rng(0)
+echo "=== 4 bench refresh ==="
+timeout 1200 python bench.py > /tmp/bench_final_q3.json 2>/tmp/bench_final_q3.err
 
-def post(data):
-    req = urllib.request.Request(url + "/transcribe", data=data, method="POST")
-    with urllib.request.urlopen(req, timeout=600) as r:
-        return json.loads(r.read())
-
-def png(text):
-    buf = io.BytesIO()
-    Image.fromarray(render_line(text, 64, 512)).save(buf, format="PNG")
-    return buf.getvalue()
-
-texts = [random_text(rng, "abcdefghijklmnopqrstuvwxyz '", 8, 24)
-         for _ in range(32)]
-print("warmup:", post(png(texts[0])))
-t0 = time.time(); results = [None] * len(texts)
-def go(i):
-    results[i] = post(png(texts[i]))
-th = [threading.Thread(target=go, args=(i,)) for i in range(len(texts))]
-[t.start() for t in th]; [t.join() for t in th]
-dt = time.time() - t0
-ok = sum(r["text"] == t for r, t in zip(results, texts))
-with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
-    print("healthz:", r.read().decode())
-print(f"32 concurrent requests in {dt:.2f}s; exact-match {ok}/32")
-for r, t in list(zip(results, texts))[:5]:
-    print(repr(t), "->", repr(r["text"]))
-httpd.shutdown(); worker.stop()
-EOF
-
-echo "=== STAGE3 ALL DONE ==="
+echo "=== QUEUE3 DONE ==="
