@@ -175,10 +175,11 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
     writer = ScalarWriter(save_dir, cfg.train.use_wandb, cfg.train.wandb_project,
                           cfg.train.exp_name, config_to_dict(cfg),
                           enabled=is_main)
-    # Rate window tied to the print cadence so the very first printed line
-    # already carries a real img/s (a fixed 50-step window logged 0.0 for
-    # any shorter print interval / short smoke runs).
-    timer = StepTimer(window=min(50, max(1, cfg.train.print_iters)))
+    # Rate windows close at the print cadence, AFTER the loss fetch syncs the
+    # host on that window's device work (StepTimer docstring: dispatch-time
+    # windows read ~2x over wall-clock). First printed line carries a real
+    # img/s for any print interval, including compile amortization.
+    timer = StepTimer()
 
     train_loss, train_loss_count = 0.0, 0
     pending_losses: list = []  # device scalars; fetched at print cadence so
@@ -189,12 +190,12 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
         batch = next(batches)
         state, metrics = train_fn(state, batch)
         pending_losses.append(metrics["loss"])
-        timer.tick(cfg.data.train_bs)
 
         it = step + 1
         if it % cfg.train.print_iters == 0:
             fetched = [float(x) for x in pending_losses]
             pending_losses.clear()
+            timer.close_window(len(fetched), cfg.data.train_bs)
 
             # Failure detection: a window of non-finite losses aborts with an
             # emergency checkpoint instead of silently corrupting the run
@@ -242,6 +243,9 @@ def fit(cfg: ExperimentConfig) -> Dict[str, float]:
                         " [best WER]" if improved_wer else "")
             writer.write(it, {"val/loss": val_loss, "val/CER": cer, "val/WER": wer,
                               "val/best_CER": best_cer, "val/best_WER": best_wer})
+            # reset the rate window so eval/checkpoint wall time doesn't
+            # deflate the next printed train img/s
+            timer.close_window(0, 0)
 
     loader.close()
     writer.close()

@@ -96,20 +96,24 @@ class ScalarWriter:
 
 class StepTimer:
     """Rolling images/sec tracker (the framework's perf counter; the
-    reference logs none)."""
+    reference logs none).
 
-    def __init__(self, window: int = 50):
-        self.window = window
+    Call ``close_window(n_steps, batch_size)`` AFTER syncing on those steps'
+    results (e.g. fetching their losses to host). Measuring at dispatch time
+    instead over-reports badly: jit dispatch is asynchronous, so a window
+    that contains no host sync times only the Python enqueue loop — observed
+    2x over wall-clock on TPU when the rate window (50) was misaligned with
+    the loss-fetch cadence (print_iters=100)."""
+
+    def __init__(self):
         self._t = time.perf_counter()
-        self._steps = 0
         self.rate = 0.0
 
-    def tick(self, batch_size: int) -> None:
-        self._steps += 1
-        if self._steps % self.window == 0:
-            now = time.perf_counter()
-            self.rate = self.window * batch_size / (now - self._t)
-            self._t = now
+    def close_window(self, n_steps: int, batch_size: int) -> None:
+        now = time.perf_counter()
+        if n_steps > 0 and now > self._t:
+            self.rate = n_steps * batch_size / (now - self._t)
+        self._t = now
 
 
 def maybe_profile(profile_dir: Optional[str], step: int,
