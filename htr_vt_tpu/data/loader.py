@@ -150,8 +150,11 @@ class TrainLoader:
       serializes four RNG states and still cannot restore the mid-epoch
       DataLoader position, model_v1/utils/utils.py:253-268);
     - multi-host data sharding is ``shard_rank/shard_count``: each process
-      builds rows [rank*bs, (rank+1)*bs) of every global batch, and the
-      per-process streams concatenate to the exact single-process stream.
+      builds rows [rank*bs, (rank+1)*bs) of every global batch; sample
+      contents and order concatenate to the exact single-process stream
+      (augmentation draws are per-shard — the batch-shared augment
+      decisions are made per shard slice, statistically equivalent but
+      not bit-identical to a 1-process run's).
 
     sampling="epoch" (default) follows the reference's epoch-shuffled
     DataLoader; "iid" draws each batch i.i.d. (statistically equivalent for

@@ -133,3 +133,27 @@ def test_broadcast_str_roundtrip_and_overflow():
     assert _broadcast_str(p) == p
     with pytest.raises(ValueError, match="exceeds"):
         _broadcast_str("/x" * 3000)
+
+
+def test_step_timer_windows_are_host_synced():
+    """StepTimer.close_window: rate = images/elapsed since the previous
+    close; a 0-step close resets the window without touching the rate
+    (used after eval so eval wall time doesn't deflate the next window)."""
+    import time
+
+    from htr_vt_tpu.utils.logging import StepTimer
+
+    t = StepTimer()
+    assert t.rate == 0.0
+    time.sleep(0.05)
+    t.close_window(10, 8)  # 80 images over >=50 ms -> rate < 1600
+    assert 0.0 < t.rate <= 80 / 0.05 + 1
+    first = t.rate
+
+    time.sleep(0.05)
+    t.close_window(0, 0)  # eval boundary: reset only
+    assert t.rate == first
+    time.sleep(0.02)
+    t.close_window(10, 8)
+    # the eval sleep must not count against the new window
+    assert t.rate > 80 / 0.05
