@@ -129,13 +129,14 @@ def main() -> None:
             image = batch["image"][:, :, :width]
             extra = {}
             if quant == "int8":
-                def calib(p, b, img):
-                    _, mut = imodel.apply(
-                        {"params": p, "batch_stats": b}, img, train=False,
-                        mutable=["quant_stats"])
-                    return mut["quant_stats"]
-                extra["quant_stats"] = jax.jit(calib)(
-                    state.ema_params, state.ema_batch_stats, image)
+                # Shared calibration home (ops/quant.py) — same scheme the
+                # serving CLIs ship; the bench has one synthetic batch, so
+                # the running-max folds a single batch here.
+                from htr_vt_tpu.ops.quant import calibrate_quant_stats
+                extra["quant_stats"] = calibrate_quant_stats(
+                    imodel, {"params": state.ema_params,
+                             "batch_stats": state.ema_batch_stats},
+                    [image], n_batches=1)
 
             @jax.jit
             def infer(p, b, img):

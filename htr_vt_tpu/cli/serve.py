@@ -64,6 +64,9 @@ def main() -> None:
     parser.add_argument("--beam-width", type=int, default=5)
     parser.add_argument("--lm-weight", type=float, default=1.0)
     parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--calib-batches", type=int, default=4,
+                        help="int8: batches per bucket folded into the "
+                             "running-abs-max activation calibration")
     parser.add_argument("--width-buckets", type=str, default=None,
                         help="comma-separated widths (e.g. 512,1024,2048), "
                              "each a multiple of the stem's width stride "
@@ -149,11 +152,12 @@ def main() -> None:
 
     eval_fns = {}
 
-    def eval_for(width, calib_image):
-        """Per-width compiled eval fn; with --quant int8 the first batch of
-        the bucket calibrates the static activation scales (one float
-        forward recording abs-max into quant_stats, then the fused int8
-        program serves the bucket)."""
+    def eval_for(width, calib_images):
+        """Per-width compiled eval fn; with --quant int8 the first batches of
+        the bucket calibrate the static activation scales (running abs-max
+        over up to --calib-batches float forwards — a single batch can
+        under-estimate the scale and silently clip later activations), then
+        the fused int8 program serves the bucket."""
         if width not in eval_fns:
             cfg_b = dataclasses.replace(
                 cfg, model=dataclasses.replace(cfg.model, img_size=(h, width)))
@@ -161,11 +165,20 @@ def main() -> None:
             extra = None
             if cfg.model.quant == "int8":
                 from htr_vt_tpu.ops.quant import calibrate_quant_stats
+
+                def calib_batches():
+                    yield calib_images
+                    bi = buckets.index(width)
+                    bpaths = [paths[i] for i, o in enumerate(owner) if o == bi]
+                    for s in range(bs, min(len(bpaths),
+                                           args.calib_batches * bs), bs):
+                        yield load_chunk(bpaths[s:s + bs], width)
+
                 extra = {"quant_stats": calibrate_quant_stats(
                     model_b,
                     {"params": state.ema_params,
                      "batch_stats": state.ema_batch_stats},
-                    [calib_image], n_batches=1)}
+                    calib_batches(), n_batches=args.calib_batches)}
             eval_fns[width] = jit_eval_step(model_b, cfg_b, extra_vars=extra)
         return eval_fns[width]
 

@@ -69,6 +69,12 @@ class BatchWorker(threading.Thread):
             p.event.set()
             return p
         self.inbox.put(p)
+        if self._stop.is_set():
+            # stop() may have raced us between the check above and the put:
+            # run()'s final drain could already be done, leaving p queued
+            # with no reader. Drain is idempotent; whoever dequeues p first
+            # (run() or us) sets its event exactly once.
+            self._drain_on_stop()
         return p
 
     def stop(self):

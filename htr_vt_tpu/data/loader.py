@@ -130,7 +130,7 @@ def batch_sample_ids(n: int, b: int, seed: int, sampling: str,
         else:
             perm = epoch_permutation(n, seed, int(e))
             if perm_cache is not None:
-                if len(perm_cache) > 4:
+                if len(perm_cache) >= 4:
                     perm_cache.pop(min(perm_cache))
                 perm_cache[int(e)] = perm
         m = epochs == e

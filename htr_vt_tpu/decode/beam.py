@@ -159,7 +159,7 @@ def prefix_beam_search_batch(log_probs: np.ndarray, beam_width: int = 10,
     if f < c:
         cand_all = np.argpartition(-lp, f - 1, axis=2)[:, :, :f]
     else:
-        cand_all = np.broadcast_to(np.arange(c), (b, t_total, c)).copy()
+        cand_all = np.broadcast_to(np.arange(c), (b, t_total, c))  # read-only view
 
     NEG = NEG_INF
     tokens = np.zeros((b, k, t_total if t_total else 1), np.int32)

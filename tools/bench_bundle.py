@@ -58,9 +58,9 @@ def main():
         variables = dict(model.init({"params": jax.random.PRNGKey(0)},
                                     jnp.asarray(img[:1]), train=False))
         if quant == "int8":
-            _, mut = model.apply(variables, jnp.asarray(img), train=False,
-                                 mutable=["quant_stats"])
-            variables["quant_stats"] = mut["quant_stats"]
+            from htr_vt_tpu.ops.quant import calibrate_quant_stats
+            variables["quant_stats"] = calibrate_quant_stats(
+                model, variables, [img], n_batches=1)
 
         live = jax.jit(make_serving_fn(model, variables))
         live_ips, live_ms = _throughput(live, img)

@@ -145,6 +145,7 @@ def main() -> None:
     logger.info("multi-width training: widths=%s bs=%d iters=%d encoder=%s",
                 widths, args.bs, args.iters, args.encoder)
     best = 1e9
+    best_wer = 1e9
     history = []
     t0 = time.time()
     for it in range(args.iters):
@@ -167,10 +168,11 @@ def main() -> None:
             history.append({"iter": it + 1,
                             **{str(w): {k: round(v, 4) for k, v in r.items()}
                                for w, r in res.items()}})
+            mean_wer = float(np.mean([r["wer"] for r in res.values()]))
             best = min(best, mean_cer)
-            ckpt.save(state, cer=mean_cer,
-                      wer=float(np.mean([r["wer"] for r in res.values()])),
-                      best_cer=best, best_wer=best,
+            best_wer = min(best_wer, mean_wer)
+            ckpt.save(state, cer=mean_cer, wer=mean_wer,
+                      best_cer=best, best_wer=best_wer,
                       meta={"widths": widths, "history": history})
 
     for b in buckets:
