@@ -118,6 +118,12 @@ def main() -> None:
     # Serving metrics in the same record (eval fwd + on-device greedy
     # decode; float and calibrated-int8). Best-effort: compiles are cached
     # from the dev sessions, but never fail the train benchmark over them.
+    # HTRVT_BENCH_TRAIN_ONLY=1 skips them — used by tools/sweep_xla_flags.py,
+    # where each flag set forces a fresh compile and only the train number
+    # is under test.
+    if os.environ.get("HTRVT_BENCH_TRAIN_ONLY"):
+        print(json.dumps(record))
+        return
     try:
         from htr_vt_tpu.ops.decode import greedy_decode
 

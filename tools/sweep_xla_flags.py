@@ -50,6 +50,7 @@ def main() -> None:
     results = []
     for name, flags in cands:
         env = dict(os.environ)
+        env["HTRVT_BENCH_TRAIN_ONLY"] = "1"  # train flags only affect train
         if flags:
             env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
         # Flag changes invalidate the persistent compile cache key, so each
