@@ -119,3 +119,29 @@ class SyntheticLineDataset:
     def __getitem__(self, i: int) -> Tuple[np.ndarray, str]:
         rng = np.random.default_rng(int(self._seeds[i]))
         return render_line(self.labels[i], self.height, self.width, rng), self.labels[i]
+
+
+def selftest_workload_mix(buckets, n: int = 4096, seed: int = 0,
+                          alphabet: str = "abcdefghijklmnopqrstuvwxyz '"):
+    """Bucket mix of the serve --selftest workload: line length uniform in
+    [4, max_len] with max_len ramping 6..96 over the job, natural width =
+    chars*24 + 32 (selftest_canvas_width), routed to the smallest bucket
+    that holds the width (capped at the largest, like cli/serve.py's
+    assign_width_buckets). This is the DOCUMENTED length mix behind every
+    workload-effective serving number (bench.py serve_effective_img_s,
+    tools/bench_serve_buckets.py): real IAM/READ/LAM line widths cannot be
+    derived in-repo — the shipped .ln lists carry filenames only, no label
+    text or image dims — so the selftest generator is the workload, and the
+    same mix is what cli/serve.py --selftest scores for CER.
+
+    Returns {bucket_width: fraction}.
+    """
+    rng = np.random.default_rng(seed)
+    counts = {b: 0 for b in buckets}
+    for i in range(n):
+        text = random_text(rng, alphabet, min_len=4,
+                           max_len=selftest_max_len(i, n))
+        w = selftest_canvas_width(len(text))
+        b = next((b for b in sorted(buckets) if w <= b), max(buckets))
+        counts[b] += 1
+    return {b: c / n for b, c in counts.items()}

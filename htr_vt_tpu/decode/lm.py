@@ -33,6 +33,19 @@ class NgramScorer:
     """
 
     def __init__(self, arpa_path: str):
+        # Fail loudly on kenlm's own binary format (the reference loads both
+        # ARPA and kenlm .bin, model_window/test_with_kenlm.py:21-23; .bin is
+        # a private format we deliberately do not blind-replicate) instead of
+        # surfacing an opaque ARPA parse error.
+        with open(arpa_path, "rb") as f:
+            head = f.read(64)
+        if head.startswith(b"mmap lm "):
+            raise ValueError(
+                f"{arpa_path} is a kenlm binary model — kenlm's .bin format "
+                "is not supported. Re-export the ARPA text (lmplz output, or "
+                "keep the .arpa that build_binary consumed) and optionally "
+                "compile it with `python -m htr_vt_tpu.decode.lm_compile "
+                "model.arpa model.htlm` for fast loading.")
         self._lib = load_native()
         self._handle = None
         self._py = None

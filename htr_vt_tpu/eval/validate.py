@@ -51,14 +51,27 @@ def validate(eval_fn, params, batch_stats, batches, converter: CTCLabelConverter
                 batch = {k: jax.device_put(v, sharding) for k, v in batch.items()}
         out = eval_fn(params, batch_stats, batch)
         pred_ids = out["pred_ids"]
+        loss_rows = out.get("loss_per_sample")
         if nproc > 1:
             from jax.experimental import multihost_utils
             pred_ids = multihost_utils.process_allgather(pred_ids, tiled=True)
+            if loss_rows is not None:
+                loss_rows = multihost_utils.process_allgather(loss_rows,
+                                                              tiled=True)
         pred_ids = np.asarray(pred_ids)[:valid]
         preds = converter.decode_batch(pred_ids)
         metrics.update(preds, texts)
-        total_loss += float(out["loss"])
-        count += 1
+        if loss_rows is not None:
+            # Sum losses over the valid rows only: eval_batches pads the
+            # last batch by repeating sample 0, and averaging over padded
+            # rows (or weighting every batch equally) biases val-loss on
+            # non-divisible splits vs the reference's short-final-batch
+            # accounting (valid.py:30-38).
+            total_loss += float(np.asarray(loss_rows)[:valid].sum())
+            count += valid
+        else:  # eval fns without per-sample losses (e.g. encoder-decoder)
+            total_loss += float(out["loss"])
+            count += 1
         all_preds.extend(preds)
         all_labels.extend(texts)
     val_loss = total_loss / max(1, count)

@@ -205,9 +205,15 @@ def eval_step(model, cfg: ExperimentConfig, params, batch_stats,
     variables = {"params": params, "batch_stats": batch_stats,
                  **(extra_vars or {})}
     logits = model.apply(variables, batch["image"], train=False)
-    loss = ctc_loss_auto(logits, batch["labels"], batch["label_lengths"]).mean()
+    loss_per_sample = ctc_loss_auto(logits, batch["labels"],
+                                    batch["label_lengths"])
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return {"logits": logits, "pred_ids": preds, "loss": loss}
+    # loss_per_sample lets validate() exclude the repeated-sample padding rows
+    # eval_batches appends to fill the last batch (the reference has no such
+    # rows — its loader just emits a short final batch, valid.py:30-38).
+    return {"logits": logits, "pred_ids": preds,
+            "loss": loss_per_sample.mean(),
+            "loss_per_sample": loss_per_sample}
 
 
 def jit_train_step(model, cfg: ExperimentConfig, donate: bool = True):

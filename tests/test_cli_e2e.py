@@ -7,6 +7,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 ARGS_COMMON = ["--embed-dim", "64", "--depth", "1", "--num-heads", "2",

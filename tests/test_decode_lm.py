@@ -505,3 +505,17 @@ def test_train_ngram_direct_to_htlm(tmp_path):
     a, b = NgramScorer(arpa), NgramScorer(htlm)
     for s in ["hello world", "words", "zzz"]:
         assert abs(a.score(s) - b.score(s)) < 1e-5, s
+
+
+def test_kenlm_binary_rejected_with_guidance(tmp_path):
+    """A kenlm .bin (private format) must fail with an explicit re-export
+    message, not an opaque ARPA parse error (round-4 verdict #10; reference
+    loads .bin via kenlm itself, model_window/test_with_kenlm.py:21-23)."""
+    import pytest
+    from htr_vt_tpu.decode.lm import NgramScorer
+    fake = tmp_path / "model.bin"
+    # kenlm binary sanity header prefix (util/file_piece / binary_format.cc)
+    fake.write_bytes(b"mmap lm http://kheafield.com/code format version 5\n\0"
+                     + b"\x00" * 64)
+    with pytest.raises(ValueError, match="kenlm binary.*lm_compile"):
+        NgramScorer(str(fake))

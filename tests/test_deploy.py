@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from htr_vt_tpu.config import ModelConfig
 from htr_vt_tpu.deploy import (ServingBundle, export_serving, make_serving_fn,
                                save_bundle)

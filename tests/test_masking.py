@@ -3,12 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from htr_vt_tpu.config import MaskConfig
 from htr_vt_tpu.models import masking
 
 L = 128
 B = 16
+LONG_LS = [128, 256, 512]  # multi-width buckets: 512/1024/2048-px lines
 
 
 def keep_to_masked(keep):
@@ -35,25 +37,64 @@ def test_random_mask_exact_count_per_sample():
     assert not np.all(m == m[0])
 
 
-def test_block_mask_coverage_and_contiguity():
+@pytest.mark.parametrize("length", LONG_LS)
+def test_block_mask_coverage_and_contiguity(length):
     rng = jax.random.PRNGKey(2)
-    keep = masking.block_mask(rng, B, L, ratio=0.25)
+    keep = masking.block_mask(rng, B, length, ratio=0.25)
     m = keep_to_masked(keep)
-    target = round(0.25 * L)
+    target = round(0.25 * length)
     # Coverage must reach the target (possibly overshoot by < max block len).
     assert np.all(m.sum(axis=1) >= target)
-    assert np.all(m.sum(axis=1) <= target + L)
+    assert np.all(m.sum(axis=1) <= target + length)
 
 
-def test_span_spacing_mask_coverage_and_spacing():
+@pytest.mark.parametrize("length", LONG_LS)
+def test_span_spacing_mask_reaches_target_coverage(length):
+    """The bounded placement budget must reach the target coverage at every
+    multi-width token length — the round-3 flat 48-attempt cap starved
+    coverage beyond L=128 (round-4 verdict #4). Reference semantics: loop
+    until covered >= target or 10000 attempts
+    (model_sgm_mms_attach/model/HTR_VT.py:261-306)."""
     rng = jax.random.PRNGKey(3)
     ratio, max_span = 0.3, 8
-    keep = masking.span_spacing_mask(rng, B, L, ratio, max_span)
+    keep = masking.span_spacing_mask(rng, B, length, ratio, max_span)
     m = keep_to_masked(keep)
-    target = round(ratio * L)
-    # Bounded placements should approach the target closely.
-    assert np.all(m.sum(axis=1) >= target * 0.6)
+    target = round(ratio * length)
+    # Mean coverage within 5% of target; every sample close behind.
+    assert m.sum(axis=1).mean() >= target * 0.95
+    assert np.all(m.sum(axis=1) >= target * 0.85)
     assert np.all(m.sum(axis=1) <= target + max_span)
+
+
+@pytest.mark.parametrize("length", LONG_LS)
+def test_span_spacing_matches_reference_saturation_at_high_ratio(length):
+    """At ratio 0.4 the k=s spacing policy makes the target hard to reach;
+    the reference burns up to 10000 attempts converging to ~the target.
+    Pin our budgeted coverage to a NumPy transcription of the reference
+    loop (not to the raw target) so semantics stay matched at every L."""
+    ratio, max_span = 0.4, 8
+    keep = masking.span_spacing_mask(jax.random.PRNGKey(7), B, length,
+                                     ratio, max_span)
+    ours = keep_to_masked(keep).sum(axis=1).mean() / length
+
+    rng = np.random.default_rng(0)
+    target = round(ratio * length)
+    covs = []
+    for _ in range(8):
+        masked = np.zeros(length, bool)
+        att = 0
+        while masked.sum() < target and att < 10000:
+            att += 1
+            s = int(rng.integers(1, max_span + 1))
+            l = int(rng.integers(0, length - s + 1))
+            r = l + s - 1
+            k = s  # ratio <= 0.4 policy (reference :278-285)
+            if masked[max(0, l - k):min(length, r + k + 1)].any():
+                continue
+            masked[l:r + 1] = True
+        covs.append(masked.mean())
+    ref = float(np.mean(covs))
+    assert abs(ours - ref) < 0.02, (ours, ref)
 
 
 def test_mms_union():

@@ -2,6 +2,10 @@
 one shared parameter set trained through per-width compiled programs
 (the evidence generator for width-bucketed serving accuracy)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import importlib.util
 import json
 import os

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from htr_vt_tpu.config import (ExperimentConfig, MaskConfig, ModelConfig,
                                OptimConfig, ParallelConfig)
 from htr_vt_tpu.models.htr_vt import HTRVT

@@ -18,6 +18,8 @@ import xml.sax.saxutils
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from PIL import Image
 
 from htr_vt_tpu.data.format_datasets import (format_iam, format_read2016,

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 import torch.nn.functional as F
 

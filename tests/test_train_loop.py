@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from htr_vt_tpu.config import (DataConfig, ExperimentConfig, MaskConfig,
                                ModelConfig, OptimConfig, TrainConfig, dataset_preset)
 from htr_vt_tpu.train.loop import fit

@@ -32,8 +32,9 @@ CANDIDATES = [
     # Bigger scoped-vmem budget lets the emitter pick larger conv tiles.
     ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
     ("vmem_128m", {"xla_tpu_scoped_vmem_limit_kib": "131072"}),
-    # Flatter loop structure around the conv emitter.
-    ("no_mosaic_align", {"xla_tpu_enable_dot_strength_reduction": "false"}),
+    # Disable dot strength-reduction rewrites (same knob sweep_xla_flags.py
+    # calls 'no_rewrites').
+    ("no_dot_strength_red", {"xla_tpu_enable_dot_strength_reduction": "false"}),
 ]
 
 

@@ -68,10 +68,12 @@ def main() -> None:
         rec["_name"] = name
         rec["_flags"] = flags
         results.append(rec)
-        print(f"{name:16s} {rec['value']:7.1f} img/s  "
-              f"(infer {rec.get('infer_images_per_sec', 0):7.1f}, "
-              f"int8 {rec.get('infer_int8_images_per_sec', 0):7.1f})",
-              flush=True)
+        # train-only records (HTRVT_BENCH_TRAIN_ONLY=1) carry no infer metrics
+        extra = ""
+        if "infer_images_per_sec" in rec:
+            extra = (f"  (infer {rec['infer_images_per_sec']:7.1f}, "
+                     f"int8 {rec.get('infer_int8_images_per_sec', 0):7.1f})")
+        print(f"{name:16s} {rec['value']:7.1f} img/s{extra}", flush=True)
 
     if results:
         best = max(results, key=lambda r: r["value"])
