@@ -19,7 +19,8 @@ _FONTS = (cv2.FONT_HERSHEY_SIMPLEX, cv2.FONT_HERSHEY_COMPLEX,
 
 def render_line(text: str, height: int = 64, width: int = 512,
                 rng: Optional[np.random.Generator] = None,
-                return_drawn: bool = False, draw: bool = True):
+                return_drawn: bool = False, draw: bool = True,
+                scale_range: Tuple[float, float] = (0.9, 1.3)):
     """Render ``text`` onto a white uint8 [height, width] canvas with random
     font/slant/thickness/baseline wobble. With ``return_drawn`` also returns
     how many characters actually landed on the canvas (rendering stops at the
@@ -33,7 +34,7 @@ def render_line(text: str, height: int = 64, width: int = 512,
     rng = rng or np.random.default_rng(abs(hash(text)) % (2**31))
     canvas = np.full((height, width), 255, np.uint8) if draw else None
     font = _FONTS[int(rng.integers(0, len(_FONTS)))]
-    scale = float(rng.uniform(0.9, 1.3))
+    scale = float(rng.uniform(*scale_range))
     thickness = int(rng.integers(1, 3))
     x = int(rng.integers(2, 8))
     base_y = int(height * 0.68)
@@ -89,7 +90,8 @@ class SyntheticLineDataset:
     def __init__(self, size: int, alphabet: str = "abcdefghijklmnopqrstuvwxyz '",
                  seed: int = 0, height: int = 64, width: int = 512,
                  min_len: int = 4, max_len: int = 28,
-                 trim_to_canvas: bool = False):
+                 trim_to_canvas: bool = False,
+                 scale_range: Tuple[float, float] = (0.9, 1.3)):
         rng = np.random.default_rng(seed)
         # strip() in random_text means leading/trailing spaces vanish; keep
         # alphabet order stable for the codec.
@@ -98,6 +100,7 @@ class SyntheticLineDataset:
         self.labels: List[str] = [random_text(rng, alphabet, min_len, max_len)
                                   for _ in range(size)]
         self._seeds = rng.integers(0, 2**31, size=size)
+        self.scale_range = tuple(scale_range)
         if trim_to_canvas:
             # Long texts can hit the right edge mid-string (render_line stops
             # there); trim each label to the characters that actually render
@@ -110,7 +113,8 @@ class SyntheticLineDataset:
             for i in range(size):
                 r = np.random.default_rng(int(self._seeds[i]))
                 _, drawn = render_line(self.labels[i], height, width, r,
-                                       return_drawn=True, draw=False)
+                                       return_drawn=True, draw=False,
+                                       scale_range=self.scale_range)
                 self.labels[i] = self.labels[i][:drawn].strip() or self.labels[i][:1]
 
     def __len__(self) -> int:
@@ -118,7 +122,8 @@ class SyntheticLineDataset:
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, str]:
         rng = np.random.default_rng(int(self._seeds[i]))
-        return render_line(self.labels[i], self.height, self.width, rng), self.labels[i]
+        return render_line(self.labels[i], self.height, self.width, rng,
+                           scale_range=self.scale_range), self.labels[i]
 
 
 def selftest_workload_mix(buckets, n: int = 4096, seed: int = 0,

@@ -177,3 +177,57 @@ def test_flatten_directory(tmp_path):
     flatten_directory(str(tmp_path))
     assert (tmp_path / "x.png").exists() and (tmp_path / "y.txt").exists()
     assert not (tmp_path / "a").exists()
+
+
+def test_prepare_data_preflight_and_smoke(iam_disk, tmp_path, capsys):
+    """The real-data arrival runbook (cli/prepare_data) over the same
+    byte-faithful miniature the formatter tests use: preflight (id grammar,
+    XML schema, join coverage, sha256 record), format, shipped-list
+    coverage, and the 10-line smoke train — so the command that will run on
+    the real archives is itself e2e-tested (round-4 verdict #7)."""
+    out = str(tmp_path / "lines_out")
+    report_path = str(tmp_path / "report.json")
+    argv = ["prepare_data", "iam",
+            "--archive", str(iam_disk / "lines.tgz"),
+            "--xml-dir", str(iam_disk / "xml"),
+            "--out", out, "--lists", str(iam_disk),
+            "--smoke", "--report", report_path]
+    old = sys.argv
+    try:
+        sys.argv = argv
+        from htr_vt_tpu.cli.prepare_data import main as prep_main
+        prep_main()
+    finally:
+        sys.argv = old
+    report = json.load(open(report_path))
+    assert report["n_formatted"] == len(IAM_LINES)
+    assert report["n_joined"] == len(IAM_LINES)
+    assert set(report["list_coverage"]) == {"train.ln", "val.ln", "test.ln"}
+    assert all(v == 1.0 for v in report["list_coverage"].values())
+    assert report["smoke"] == "ok"
+    out_text = capsys.readouterr().out
+    assert "PASS" in out_text and "FAIL" not in out_text
+
+
+def test_prepare_data_rejects_mismatched_xml(iam_disk, tmp_path):
+    """Join-coverage gate: an XML dir from a different release (no matching
+    line ids) must fail preflight, not produce an empty dataset."""
+    import xml.sax.saxutils
+    bad_xml = tmp_path / "xml"
+    bad_xml.mkdir()
+    (bad_xml / "z99-999.xml").write_text(
+        '<?xml version="1.0"?>\n<form id="z99-999">\n'
+        '  <line id="z99-999-00" text="unrelated"/>\n</form>\n')
+    argv = ["prepare_data", "iam",
+            "--archive", str(iam_disk / "lines.tgz"),
+            "--xml-dir", str(bad_xml),
+            "--out", str(tmp_path / "o"), "--lists", str(iam_disk)]
+    old = sys.argv
+    try:
+        sys.argv = argv
+        from htr_vt_tpu.cli.prepare_data import main as prep_main
+        with pytest.raises(SystemExit) as ei:
+            prep_main()
+        assert ei.value.code == 1
+    finally:
+        sys.argv = old

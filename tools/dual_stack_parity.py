@@ -65,9 +65,14 @@ def main() -> None:
     ap.add_argument("--alphabet", type=str, default="aehilnorst ",
                     help="small alphabet -> easy task that exits blank-"
                          "collapse within a CPU budget")
-    ap.add_argument("--min-len", type=int, default=3)
-    ap.add_argument("--max-len", type=int, default=7)
-    ap.add_argument("--max-lr", type=float, default=1.5e-3)
+    ap.add_argument("--min-len", type=int, default=8)
+    ap.add_argument("--max-len", type=int, default=16)
+    ap.add_argument("--scale", type=str, default="0.5,0.7",
+                    help="glyph scale range lo,hi — small glyphs pack more "
+                         "chars per canvas, raising label density (chars per "
+                         "CTC frame), which is what drives blank-collapse "
+                         "exit speed")
+    ap.add_argument("--max-lr", type=float, default=3e-3)
     ap.add_argument("--no-augment", action="store_true")
     ap.add_argument("--pilot", action="store_true",
                     help="run only the JAX half (fast) to size --iters")
@@ -115,14 +120,15 @@ def main() -> None:
     # narrow canvas, so image and transcript agree (without trimming, the
     # default 4..28-char SYNTH labels overflow a 192-px canvas and the task
     # is unlearnable — a contributor to the round-3 CER-1.0 outcome).
+    scale = tuple(float(x) for x in args.scale.split(","))
     train_ds = SyntheticLineDataset(args.synth_size, args.alphabet,
                                     seed=args.seed, height=H, width=W,
                                     min_len=args.min_len, max_len=args.max_len,
-                                    trim_to_canvas=True)
+                                    trim_to_canvas=True, scale_range=scale)
     val_ds = SyntheticLineDataset(args.eval_size, args.alphabet,
                                   seed=args.seed + 1, height=H, width=W,
                                   min_len=args.min_len, max_len=args.max_len,
-                                  trim_to_canvas=True)
+                                  trim_to_canvas=True, scale_range=scale)
     converter = CTCLabelConverter(train_ds.alphabet)
     nb_cls = converter.num_classes
     max_label_len = choose_max_label_len(train_ds.labels, T)
@@ -290,6 +296,13 @@ def main() -> None:
             t_ckpts[it + 1] = {"cer": round(cer, 4), "wer": round(wer, 4)}
             print(f"[torch] ckpt iter {it+1}: CER {cer:.4f} WER {wer:.4f}",
                   flush=True)
+            # Durable partial evidence: the torch half is hours of CPU; any
+            # completed checkpoint prefix is already a CER comparison.
+            os.makedirs(args.out, exist_ok=True)
+            with open(os.path.join(args.out,
+                                   "dual_stack_parity.partial.json"), "w") as f:
+                json.dump({"iters_done": it + 1, "torch_ckpts": t_ckpts,
+                           "jax_ckpts": j_ckpts}, f, indent=1)
         if (it + 1) % 25 == 0:
             print(f"[torch] iter {it+1}/{args.iters} loss {t_losses[-1]:.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
@@ -318,6 +331,7 @@ def main() -> None:
         "jax_backend": jax.default_backend(),
         "alphabet": args.alphabet,
         "label_len": [args.min_len, args.max_len],
+        "glyph_scale": list(scale),
         "recipe": ("SAM(AdamW) lr-cos wd=0.5 rho=0.05 EMA, masking off, "
                    + ("augment off" if args.no_augment else "augment on")),
         "loss_windows": windows,
