@@ -17,7 +17,7 @@ prefetching loader.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import cv2
 import numpy as np
@@ -70,21 +70,88 @@ def random_projective(img: np.ndarray, val: float, rng: Rng) -> np.ndarray:
     return cv2.resize(warped, (w, h), interpolation=cv2.INTER_LINEAR)
 
 
-def elastic_distortion(img: np.ndarray, rng: Rng, kernel_size: int = 3,
-                       magnitude: int = 20, alpha: float = 1.0,
-                       sigma: float = 5.0) -> np.ndarray:
-    """Mesh-style elastic warp (reference ElasticDistortion,
-    transform.py:36-149, OrigamiNet lineage) expressed as a smoothed random
-    displacement field + cv2.remap."""
+def elastic_distortion(img: np.ndarray, rng: Rng,
+                       grid: Tuple[int, int] = (6, 2),
+                       magnitude: Tuple[int, int] = (6, 4),
+                       min_sep: Tuple[int, int] = (2, 2)) -> np.ndarray:
+    """OrigamiNet-faithful mesh warp (reference ElasticDistortion,
+    transform.py:36-149): the image is cut into a grid x grid tile lattice;
+    each INTERIOR lattice vertex gets an independent integer shift
+    (dx, dy) ~ randint(-sm, magnitude) where sm caps the negative range so
+    neighbouring vertices keep at least ``min_sep`` separation (the
+    reference's sm_h/sm_v clamp); border vertices stay fixed. Each
+    destination tile is then sampled from the bilinear interpolation of its
+    four (possibly shifted) source corners — the same mapping PIL's
+    Image.MESH + QUAD transform applies, expressed as a dst->src coordinate
+    field for cv2.remap(BICUBIC).
+
+    The reference never instantiates this class anywhere (unused in every
+    SameTrCollate), so the grid/magnitude defaults here are this repo's
+    choice, sized for 64px-high line images.
+    """
     h, w = img.shape[:2]
-    dx = rng.uniform(-1, 1, (h, w)).astype(np.float32)
-    dy = rng.uniform(-1, 1, (h, w)).astype(np.float32)
-    k = max(3, int(kernel_size) | 1)
-    dx = cv2.GaussianBlur(dx, (k, k), sigma) * alpha * magnitude
-    dy = cv2.GaussianBlur(dy, (k, k), sigma) * alpha * magnitude
-    xx, yy = np.meshgrid(np.arange(w, dtype=np.float32),
-                         np.arange(h, dtype=np.float32))
-    return cv2.remap(img, xx + dx, yy + dy, interpolation=cv2.INTER_LINEAR,
+    ht, vt = max(2, grid[0]), max(2, grid[1])
+    xmag, ymag = magnitude
+    min_h_sep, min_v_sep = min_sep
+    tile_w = int(np.floor(w / float(ht)))
+    tile_h = int(np.floor(h / float(vt)))
+    if tile_w < 2 or tile_h < 2:
+        return img
+
+    # Lattice of tile-corner x/y lines; the last tile absorbs the remainder
+    # (floor arithmetic, reference :55-58).
+    xs = np.array([min(c * tile_w, w) for c in range(ht)] + [w], np.float32)
+    ys = np.array([min(r * tile_h, h) for r in range(vt)] + [h], np.float32)
+
+    # Interior-vertex shifts with the reference's separation clamp: the cap
+    # looks at the previous tile's shift in the same row/column (:88-95).
+    shift_x = np.zeros((vt + 1, ht + 1), np.float32)
+    shift_y = np.zeros((vt + 1, ht + 1), np.float32)
+    prev_row = [(0, 0)] * ht
+    for r in range(vt):
+        prev = (0, 0)
+        for c in range(ht):
+            sm_h = min(xmag, tile_w - (min_h_sep + prev[0])) if c > 0 else xmag
+            sm_v = (min(ymag, tile_h - (min_v_sep + prev_row[c][1]))
+                    if r > 0 else ymag)
+            dx = int(rng.integers(-sm_h, xmag + 1))
+            dy = int(rng.integers(-sm_v, ymag + 1))
+            prev = (dx, dy)
+            prev_row[c] = (dx, dy)
+            # vertex (r+1, c+1) is tile (r, c)'s bottom-right corner; only
+            # interior vertices move (last row/column shifts are computed by
+            # the reference too but never applied, :105-111 polygon_indices)
+            if r + 1 < vt and c + 1 < ht:
+                shift_x[r + 1, c + 1] = dx
+                shift_y[r + 1, c + 1] = dy
+
+    # Source corner positions = lattice + shift; dst->src field per tile by
+    # bilinear interpolation of the 4 corners over the destination rect.
+    src_x = xs[None, :] + shift_x
+    src_y = ys[:, None] + shift_y
+    map_x = np.empty((h, w), np.float32)
+    map_y = np.empty((h, w), np.float32)
+    for r in range(vt):
+        y0, y1 = int(ys[r]), int(ys[r + 1])
+        if y1 <= y0:
+            continue
+        v = (np.arange(y0, y1, dtype=np.float32)[:, None] - ys[r]) / (ys[r + 1] - ys[r])
+        for c in range(ht):
+            x0, x1 = int(xs[c]), int(xs[c + 1])
+            if x1 <= x0:
+                continue
+            u = (np.arange(x0, x1, dtype=np.float32)[None, :] - xs[c]) / (xs[c + 1] - xs[c])
+            nw_x, ne_x = src_x[r, c], src_x[r, c + 1]
+            sw_x, se_x = src_x[r + 1, c], src_x[r + 1, c + 1]
+            nw_y, ne_y = src_y[r, c], src_y[r, c + 1]
+            sw_y, se_y = src_y[r + 1, c], src_y[r + 1, c + 1]
+            top_x = nw_x + u * (ne_x - nw_x)
+            bot_x = sw_x + u * (se_x - sw_x)
+            top_y = nw_y + u * (ne_y - nw_y)
+            bot_y = sw_y + u * (se_y - sw_y)
+            map_x[y0:y1, x0:x1] = top_x + v * (bot_x - top_x)
+            map_y[y0:y1, x0:x1] = top_y + v * (bot_y - top_y)
+    return cv2.remap(img, map_x, map_y, interpolation=cv2.INTER_CUBIC,
                      borderMode=cv2.BORDER_CONSTANT, borderValue=255)
 
 

@@ -236,3 +236,19 @@ def test_train_loader_iter_stopiteration_after_close():
     with pytest.raises(StopIteration):
         while True:
             next(it)
+
+
+def test_elastic_distortion_mesh_semantics():
+    """OrigamiNet mesh warp: borders fixed (corner pixels map to themselves),
+    interior displaced, output identical when magnitude is 0."""
+    from htr_vt_tpu.data import augment
+    rng = np.random.default_rng(3)
+    img = np.full((64, 128), 255, np.uint8)
+    img[20:40, 30:100] = 0
+    out = augment.elastic_distortion(img, rng)
+    assert out.shape == img.shape and out.dtype == img.dtype
+    assert not np.array_equal(out, img)  # interior really warps
+    # zero magnitude -> identity mapping (bilinear corner interp is exact)
+    rng2 = np.random.default_rng(3)
+    same = augment.elastic_distortion(img, rng2, magnitude=(0, 0))
+    np.testing.assert_array_equal(same, img)

@@ -135,3 +135,22 @@ def test_cli_flags_wire_through():
         ["SYNTH", "--grad-accum", "4", "--remat", "all"]))
     assert cfg.train.grad_accum == 4
     assert cfg.model.remat == "all"
+
+
+def test_tri_masked_long_width_smoke():
+    """Tri-masked MMS training at N=256 tokens (1024-px lines): the
+    length-scaled span placement budget (models/masking.py) gets a
+    training-path exercise at multi-width scale, not just unit coverage
+    (round-4 verdict #4)."""
+    model = ModelConfig(nb_cls=10, img_size=(64, 1024), embed_dim=32,
+                        depth=1, num_heads=2, compute_dtype="float32",
+                        masking=MaskConfig(mode="mms", ratio=0.3))
+    cfg = ExperimentConfig(model=model, optim=OptimConfig(total_iters=100),
+                           train=TrainConfig(total_iters=100,
+                                             tri_masked=True))
+    assert cfg.model.num_tokens == 256
+    rng = np.random.default_rng(5)
+    batch = _batch(rng, 2, w=1024)
+    _, metrics = _run_one(cfg, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_second"]))
