@@ -99,6 +99,10 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Stem conv implementation: auto | pallas | xla (models/stem.py:_use_pallas).
     conv_impl: str = "auto"
+    # Stem BN dataflow: plain (normalize-then-conv, fastest full-step train,
+    # round-4 bisect) | folded (per-channel scale/shift; forced by
+    # conv_impl=pallas, bn_stats_impl=pallas and int8 serving).
+    conv_dataflow: str = "plain"
     # Stem first-pool implementation: auto | pallas | xla (ops/pool_fused.py).
     pool_impl: str = "auto"
     # Train-BN stats reduce: auto | pallas | xla (ops/bn_stats.py — one-pass

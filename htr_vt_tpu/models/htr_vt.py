@@ -67,6 +67,7 @@ class HTRVT(nn.Module):
                                 conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
                                 bn_stats_impl=cfg.bn_stats_impl,
                                 quant=cfg.quant == "int8" and not train,
+                                dataflow=cfg.conv_dataflow,
                                 name="stem")
         if remat_stem:
             x = nn.remat(lambda mdl, t: mdl(t, train=train))(stem, x)

@@ -13,13 +13,13 @@ statistics are computed over the *global* batch (XLA inserts the
 cross-replica reduction), which gives sync-BN semantics for data parallelism
 without any hand-written collective.
 
-Dataflow re-design for the MXU (docs/PERF.md): BatchNorm is kept in its
-FOLDED form — each BN produces per-channel (scale, shift) from the batch
-statistics, and the normalize+ReLU is applied either (a) inside the next
-conv's Pallas kernel as a VMEM prologue (ops/conv_fused.py; XLA's version of
-that prologue fusion runs the conv at 33% MFU, the Pallas one at clean-conv
-speed), or (b) fused into the single residual-add+ReLU elementwise pass that
-closes the block. No separate full-tensor normalize pass ever runs.
+Two BN dataflows share one parameter tree (see BasicBlock): the default
+``plain`` normalize-then-conv formulation — measured fastest for the full
+SAM training step (round-4 bisect: 497.8 vs 484.4 img/s) — and the
+``folded`` form, where each BN produces per-channel (scale, shift) consumed
+by conv prologues/epilogues; folded is what the Pallas fused conv
+(ops/conv_fused.py), the Pallas BN-stats reduce, and the calibrated int8
+serving path build on, so those paths force it.
 """
 
 from __future__ import annotations
@@ -148,11 +148,48 @@ class BasicBlock(nn.Module):
     conv_impl: str = "auto"  # auto | pallas | xla
     bn_stats_impl: str = "auto"  # auto | pallas | xla (ops/bn_stats.py)
     quant: bool = False  # dynamic-int8 convs (inference only; ops/quant.py)
+    dataflow: str = "plain"  # plain | folded (see __call__ docstring)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         dt = self.dtype
         cin = x.shape[-1]
+        # Two dataflows over the SAME parameter/stat tree (conv*/kernel,
+        # bn*/{scale,bias} + {mean,var}), checkpoint-interchangeable:
+        #   plain  — normalize-then-conv with flax BatchNorm, the round-1
+        #            formulation. Measured FASTER for the full SAM train step
+        #            (497.8 vs 484.4 img/s at the flagship shapes): XLA
+        #            schedules the separate normalize pass better than the
+        #            folded form's scale/shift epilogue graph in the
+        #            backward pass (round-4 regression bisect, docs/PERF.md).
+        #   folded — BN as per-channel (scale, shift) consumed by conv
+        #            prologues/epilogues; required by the Pallas fused conv
+        #            (conv_impl=pallas), the Pallas BN-stats reduce, and the
+        #            calibrated int8 serving path (quant), which quantizes
+        #            the normalized activations.
+        if (self.dataflow == "plain" and not self.quant
+                and not _use_pallas(self.conv_impl, cin, self.features)
+                and self.bn_stats_impl != "pallas"):
+            bnp = lambda name: nn.BatchNorm(
+                use_running_average=not train, momentum=self.bn_momentum,
+                epsilon=1e-5, dtype=jnp.float32, name=name)
+            residual = x.astype(dt)
+            y = nn.Conv(self.features, (3, 3), strides=self.strides,
+                        padding=((1, 1), (1, 1)), use_bias=False, dtype=dt,
+                        kernel_init=_CONV_INIT, name="conv1")(residual)
+            y = bnp("bn1")(y).astype(dt)
+            y = nn.relu(y)
+            y = nn.Conv(self.features, (3, 3), strides=(1, 1),
+                        padding=((1, 1), (1, 1)), use_bias=False, dtype=dt,
+                        kernel_init=_CONV_INIT, name="conv2")(y)
+            y = bnp("bn2")(y).astype(dt)
+            if self.use_projection:
+                residual = nn.Conv(self.features, (1, 1), strides=self.strides,
+                                   padding="VALID", use_bias=False, dtype=dt,
+                                   kernel_init=_CONV_INIT,
+                                   name="proj_conv")(residual)
+                residual = bnp("proj_bn")(residual).astype(dt)
+            return nn.relu(y + residual)
         sites = {"conv1": (cin, self.features),
                  "conv2": (self.features, self.features)}
         if self.quant:
@@ -250,6 +287,7 @@ class ResNet18Stem(nn.Module):
     pool_impl: str = "auto"  # auto | pallas | xla (ops/pool_fused.py)
     bn_stats_impl: str = "auto"  # auto | pallas | xla (ops/bn_stats.py)
     quant: bool = False  # int8 stage convs (inference; conv1 at Cin=1 stays float)
+    dataflow: str = "plain"  # plain | folded (BasicBlock docstring)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -294,10 +332,12 @@ class ResNet18Stem(nn.Module):
             x = BasicBlock(w, strides, use_projection=needs_proj, dtype=self.dtype,
                            conv_impl=self.conv_impl, quant=self.quant,
                            bn_stats_impl=self.bn_stats_impl,
+                           dataflow=self.dataflow,
                            name=f"stage{si + 1}_block1")(x, train=train)
             x = BasicBlock(w, (1, 1), use_projection=False, dtype=self.dtype,
                            conv_impl=self.conv_impl, quant=self.quant,
                            bn_stats_impl=self.bn_stats_impl,
+                           dataflow=self.dataflow,
                            name=f"stage{si + 1}_block2")(x, train=train)
             in_width = w
 

@@ -98,7 +98,10 @@ def test_model_train_step_equivalent_with_pallas_stats():
             return jnp.mean(ctc_loss(logits, labels, lab_len))
         return f
 
-    m0, v0 = build(cfg)
+    # Pin both sides to the folded dataflow (bn_stats_impl="pallas" forces
+    # it) so the comparison isolates the stats reduce — the plain-vs-folded
+    # delta is covered by test_plain_and_folded_dataflow_equivalent.
+    m0, v0 = build(dataclasses.replace(cfg, conv_dataflow="folded"))
     m1, v1 = build(dataclasses.replace(cfg, bn_stats_impl="pallas"))
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(a, b),
@@ -115,3 +118,34 @@ def test_model_train_step_equivalent_with_pallas_stats():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4),
         g0, g1)
+
+
+def test_plain_and_folded_dataflow_equivalent():
+    """The two stem BN dataflows (round-4 bisect: plain is the fast train
+    default; folded feeds Pallas/int8 paths) share one parameter tree and
+    must agree numerically in both eval (bit-exact) and train (f32
+    rounding)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from htr_vt_tpu.config import MaskConfig, ModelConfig
+    from htr_vt_tpu.models.htr_vt import HTRVT
+
+    base = ModelConfig(nb_cls=8, img_size=(64, 128), embed_dim=64, depth=1,
+                       num_heads=2, compute_dtype="float32",
+                       masking=MaskConfig(mode="none"))
+    mp = HTRVT(dataclasses.replace(base, conv_dataflow="plain"))
+    mf = HTRVT(dataclasses.replace(base, conv_dataflow="folded"))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 128, 1))
+    v = mp.init(jax.random.PRNGKey(0), x, train=False)
+    np.testing.assert_array_equal(np.asarray(mp.apply(v, x, train=False)),
+                                  np.asarray(mf.apply(v, x, train=False)))
+    rngs = {"dropout": jax.random.PRNGKey(2)}
+    op, sp = mp.apply(v, x, train=True, use_masking=False, rngs=rngs,
+                      mutable=["batch_stats"])
+    of, sf = mf.apply(v, x, train=True, use_masking=False, rngs=rngs,
+                      mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(op), np.asarray(of), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(sp), jax.tree.leaves(sf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
