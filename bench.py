@@ -175,10 +175,13 @@ def main() -> None:
         # 6..96, width = chars*24+32; see data/synthetic.py
         # selftest_workload_mix for why this mix and not real IAM widths).
         # The reference charges every line the flat-512 cost, so its
-        # baseline stays the 1,300 img/s 4090 eval estimate.
+        # baseline stays the 1,300 img/s 4090 eval estimate. A middle
+        # 384-px bucket is measured too — the bucket sweep
+        # (tools/bench_serve_buckets.py) showed it lifts the effective rate
+        # ~6% over {256,512} at this mix.
         from htr_vt_tpu.data.synthetic import selftest_workload_mix
-        mix = selftest_workload_mix([256, 512])
-        rates = {256: r256, 512: r512}
+        mix = selftest_workload_mix([256, 384, 512])
+        rates = {256: r256, 384: bench_infer("int8", width=384), 512: r512}
         eff = 1.0 / sum(frac / rates[b] for b, frac in mix.items() if frac)
         record["serve_effective_img_s"] = round(eff, 1)
         record["serve_effective_vs_baseline"] = round(eff / 1300.0, 2)
