@@ -134,7 +134,14 @@ def ctc_loss_auto(logits, labels, label_lengths, blank: int = 0) -> jax.Array:
     derived from the operands' sharding), so the same call is the multi-chip
     program — no mesh announcement needed. Full-frame logits (the HTR
     pipeline always emits T frames per sample)."""
-    if jax.default_backend() == "tpu":
+    T = logits.shape[1]
+    S = 2 * labels.shape[1] + 1
+    # The Pallas kernels hold [T, S] alpha/beta panels in VMEM; past ~64k
+    # cells the backward's transpose scratch overflows the 16 MB scoped-VMEM
+    # stack (first hit: the 2048-px bucket, T=512 x S=225 -> compile-time
+    # VMEM OOM). Long-line configs take the scan recursion instead — same
+    # values, a few ms slower, and CTC is a trailing term at those shapes.
+    if jax.default_backend() == "tpu" and T * S <= 64 * 1024:
         from htr_vt_tpu.ops.ctc_pallas import ctc_loss_pallas
         return ctc_loss_pallas(logits, labels, label_lengths, blank)
     return ctc_loss(logits, labels, label_lengths, blank=blank)

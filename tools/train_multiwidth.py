@@ -18,8 +18,8 @@ Outputs: checkpoints (best_CER over the mean of bucket CERs), per-bucket
 CER/WER, per-bucket eval step time, and a JSON summary for docs/PERF.md.
 
 Usage (TPU, ~1 h at defaults):
-    python tools/train_multiwidth.py --iters 8000 --bs 64 \
-        --widths 512,1024 --out output/multiwidth
+    python tools/train_multiwidth.py --iters 6000 --bs 64 \
+        --widths 512,1024,2048 --out output/multiwidth
 """
 
 from __future__ import annotations
@@ -39,7 +39,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8000)
     ap.add_argument("--bs", type=int, default=64)
-    ap.add_argument("--widths", type=str, default="512,1024")
+    ap.add_argument("--widths", type=str, default="512,1024,2048")
     ap.add_argument("--encoder", type=str, default="vit")
     ap.add_argument("--train-size", type=int, default=1024,
                     help="train lines PER BUCKET")
