@@ -167,7 +167,12 @@ class BasicBlock(nn.Module):
         #            (conv_impl=pallas), the Pallas BN-stats reduce, and the
         #            calibrated int8 serving path (quant), which quantizes
         #            the normalized activations.
-        if (self.dataflow == "plain" and not self.quant
+        # plain is a TRAIN-mode win only (497.5 vs 484 img/s full SAM step);
+        # in eval the folded form is faster (3,535 vs 2,585 img/s float
+        # serving — the eval normalize is a constant affine that folds into
+        # the conv chain). The two are bit-identical in eval over the same
+        # tree, so the mode picks the dataflow.
+        if (self.dataflow == "plain" and train and not self.quant
                 and not _use_pallas(self.conv_impl, cin, self.features)
                 and self.bn_stats_impl != "pallas"):
             bnp = lambda name: nn.BatchNorm(
