@@ -120,6 +120,14 @@ class ModelConfig:
     # Applies to the eval path of the resnet18 stem + global-attention ViT
     # (the flagship); training always runs the float path.
     quant: str = "none"
+    # Zero-pad the stage1 width (192 -> this many channels) on the int8
+    # serving path so its convs hit the int8 MXU tiling that `_int8_pays`
+    # requires (256-multiples). Logits are EXACTLY preserved: pad kernels,
+    # BN shifts and running means are zero, pad gammas/vars one, so padded
+    # channels carry zeros through the whole stage (test-pinned,
+    # tests/test_quant.py). 0 = off. Checkpoints trained at 192 load through
+    # ops/quant.py:pad_stage1_tree. Only consulted when quant == "int8".
+    quant_stage1_pad: int = 0
     # GELU on the quantized serving path: "quick" = x*sigmoid(1.702x), one
     # transcendental instead of erf's chain — measured +10% int8 serving
     # throughput (4,663 vs 4,248 img/s, docs/PERF.md); "exact" keeps erf.

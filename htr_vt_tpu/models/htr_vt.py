@@ -63,11 +63,22 @@ class HTRVT(nn.Module):
             stem = VanStem(embed_dim=cfg.embed_dim, variant=cfg.stem,
                            dtype=dtype, name="stem")
         else:
+            # int8 serving with quant_stage1_pad: stage1 runs physically at
+            # the padded width (kernels/BN zero-padded — logits exactly
+            # preserved, ops/quant.py:pad_stage1_tree) so its convs satisfy
+            # _int8_pays' 256-channel tiling floor. quant configs are
+            # serving-only, so the module-level width is safe to derive from
+            # cfg.quant alone.
+            widths = None
+            if cfg.quant == "int8" and cfg.quant_stage1_pad:
+                widths = (cfg.quant_stage1_pad, cfg.embed_dim // 2,
+                          cfg.embed_dim)
             stem = ResNet18Stem(embed_dim=cfg.embed_dim, dtype=dtype,
                                 conv_impl=cfg.conv_impl, pool_impl=cfg.pool_impl,
                                 bn_stats_impl=cfg.bn_stats_impl,
                                 quant=cfg.quant == "int8" and not train,
                                 dataflow=cfg.conv_dataflow,
+                                widths=widths,
                                 name="stem")
         if remat_stem:
             x = nn.remat(lambda mdl, t: mdl(t, train=train))(stem, x)

@@ -50,7 +50,17 @@ def _int8_pays(cin: int, cout: int) -> bool:
     Measured twice: round 2 on the dynamic path (stage2/3 1.7-1.9x, stage1
     1.0x) and round 3 on the static calibrated path with s8-in/s8-out fusion
     chains (whole-step 4,115 img/s with int8 stage1 vs 4,248 without) — the
-    192-channel stage1 convs stay float either way (docs/PERF.md)."""
+    192-channel stage1 convs stay float either way (docs/PERF.md).
+
+    Round 5: with quant_stage1_pad=256 the stage1 convs become 256-channel
+    and pass this gate; measured 92-95% of the int8 peak in-model (the 192-ch
+    claim was right, and padding is the fix). HTRVT_INT8_ENTRY=1 additionally
+    int8s the 192-in stage-entry convs (cin=192, cout%128==0) — measurement
+    knob for the pad campaign."""
+    import os
+    if (os.environ.get("HTRVT_INT8_ENTRY") == "1"
+            and cout % 128 == 0 and cout >= 256 and cin % 64 == 0):
+        return True
     return cin % 128 == 0 and cout % 128 == 0 and min(cin, cout) >= 256
 
 
@@ -148,12 +158,13 @@ class BasicBlock(nn.Module):
     conv_impl: str = "auto"  # auto | pallas | xla
     bn_stats_impl: str = "auto"  # auto | pallas | xla (ops/bn_stats.py)
     quant: bool = False  # dynamic-int8 convs (inference only; ops/quant.py)
+    quant_entry: bool = False  # int8 also for the 192-in stage-entry convs
     dataflow: str = "plain"  # plain | folded (see __call__ docstring)
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False, pre_quant=None):
         dt = self.dtype
-        cin = x.shape[-1]
+        cin = pre_quant[0].shape[-1] if pre_quant is not None else x.shape[-1]
         # Two dataflows over the SAME parameter/stat tree (conv*/kernel,
         # bn*/{scale,bias} + {mean,var}), checkpoint-interchangeable:
         #   plain  — normalize-then-conv with flax BatchNorm, the round-1
@@ -200,17 +211,35 @@ class BasicBlock(nn.Module):
         if self.quant:
             from htr_vt_tpu.ops.quant import activation_scale, conv_int8
 
+            def site_int8(site):
+                c_in, c_out = sites.get(site, (cin, self.features))
+                if _int8_pays(c_in, c_out):
+                    return True
+                # Stage-entry convs (cin=192 into a 256-padded stage): int8
+                # measured 1.87 ms vs 2.53 float in-model at [128,16,512,192]
+                # ->256 (round 5) — the contraction (9x192) tiles fine; only
+                # the OUTPUT width needed the 256 pad.
+                return (self.quant_entry and site in ("conv1", "proj")
+                        and c_out % 128 == 0 and c_out >= 256
+                        and c_in % 64 == 0)
+
             def conv_fn(site):
-                c_in, c_out = sites[site]
-                if not _int8_pays(c_in, c_out):
-                    # stage1's 192 channels run the int8 conv no faster than
-                    # the 83-90%-MFU bf16 conv (measured 2.0 ms either way,
-                    # docs/PERF.md) — keep those float: same speed, zero
-                    # added quantization noise.
+                if not site_int8(site):
+                    # 192-channel convs without the pad run the int8 conv no
+                    # faster than the 83-90%-MFU bf16 conv (measured 2.0 ms
+                    # either way, docs/PERF.md) — keep those float: same
+                    # speed, zero added quantization noise.
                     return conv3x3_bn_relu_reference
 
                 def q(x, k, scale=None, shift=None, *, strides=(1, 1),
                       relu=True):
+                    if isinstance(x, tuple):
+                        # Pre-quantized s8 input from the stem's s8-domain
+                        # maxpool (quantize-before-pool is exact: round is
+                        # monotone, so max(q(x)) == q(max(x))).
+                        xq_in, sx_in = x
+                        return conv_int8(None, k, strides, xq=xq_in,
+                                         sx=sx_in).astype(dt)
                     if scale is not None:
                         a = x.astype(jnp.float32) * scale + shift
                         if relu:
@@ -232,11 +261,17 @@ class BasicBlock(nn.Module):
                                           stats_impl=self.bn_stats_impl,
                                           name=name)
 
-        x = _conv_in(x.astype(dt))
+        if pre_quant is not None:
+            assert self.quant and self.use_projection, \
+                "pre-quantized input requires an int8 stage entry with proj"
+            x_in = pre_quant
+        else:
+            x = _conv_in(x.astype(dt))
+            x_in = x
         k1 = _Conv3x3(self.features, cin, name="conv1")().astype(dt)
         k2 = _Conv3x3(self.features, self.features, name="conv2")().astype(dt)
 
-        y1 = conv_fn("conv1")(x, k1, strides=self.strides)
+        y1 = conv_fn("conv1")(x_in, k1, strides=self.strides)
         s1, t1 = bn("bn1")(y1, train=train)
         y2 = conv_fn("conv2")(y1, k2, s1, t1, strides=(1, 1), relu=True)
         s2, t2 = bn("bn2")(y2, train=train)
@@ -244,17 +279,28 @@ class BasicBlock(nn.Module):
         if self.use_projection:
             kp = _Conv3x3(self.features, cin, ksize=1, name="proj_conv")()
             proj_mode = None
-            quant_proj = self.quant and _int8_pays(cin, self.features)
-            if quant_proj:
-                from htr_vt_tpu.ops.quant import activation_scale, conv_int8
-                proj_mode, amax = activation_scale(self, "proj_amax", x)
-            if quant_proj and proj_mode != "calibrate":
-                p = conv_int8(x, kp.astype(dt), self.strides,
-                              padding=((0, 0), (0, 0)), amax=amax).astype(dt)
+            quant_proj = self.quant and (
+                _int8_pays(cin, self.features)
+                or (self.quant_entry and self.features % 128 == 0
+                    and self.features >= 256 and cin % 64 == 0))
+            if pre_quant is not None:
+                from htr_vt_tpu.ops.quant import conv_int8
+                p = conv_int8(None, kp.astype(dt), self.strides,
+                              padding=((0, 0), (0, 0)),
+                              xq=pre_quant[0], sx=pre_quant[1]).astype(dt)
             else:
-                p = jax.lax.conv_general_dilated(
-                    x, kp.astype(dt), self.strides, "VALID",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                if quant_proj:
+                    from htr_vt_tpu.ops.quant import (activation_scale,
+                                                      conv_int8)
+                    proj_mode, amax = activation_scale(self, "proj_amax", x)
+                if quant_proj and proj_mode != "calibrate":
+                    p = conv_int8(x, kp.astype(dt), self.strides,
+                                  padding=((0, 0), (0, 0)),
+                                  amax=amax).astype(dt)
+                else:
+                    p = jax.lax.conv_general_dilated(
+                        x, kp.astype(dt), self.strides, "VALID",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
             sp, tp = bn("proj_bn")(p, train=train)
             residual = p.astype(jnp.float32) * sp + tp
         else:
@@ -297,10 +343,44 @@ class ResNet18Stem(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         c = self.embed_dim // 4
+        widths = list(self.widths) if self.widths is not None else \
+            [self.embed_dim // 4, self.embed_dim // 2, self.embed_dim]
+        # int8 serving with a 256-padded stage1 (quant_stage1_pad): the stage
+        # entry convs run int8 too, and the conv1->bn1->relu->maxpool chain
+        # quantizes BEFORE the pool so the pool runs in the s8 domain.
+        s1_int8_entry = (self.quant and widths[0] % 128 == 0
+                         and widths[0] >= 256)
+        pre = None
         x = x.astype(self.dtype)
         x = nn.Conv(c, (3, 3), strides=(2, 1), padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, kernel_init=_CONV_INIT, name="conv1")(x)
-        if self.pool_impl == "pallas":
+        if s1_int8_entry and self.pool_impl != "pallas":
+            # Serving fast path: eval-BN is a constant per-channel affine, so
+            # bn1+relu+quantize fold into conv1's epilogue (calibrated static
+            # scale), and the 3x3 maxpool runs IN s8 — exact, because round
+            # is monotone so max(q(x)) == q(max(x)). The model's largest
+            # activation is then written once at 1 byte/elem instead of
+            # bf16, and the stage1 entry convs read pre-quantized input
+            # (measured round 5: conv1+bn+pool+quant 4.4 -> ~1.9 ms).
+            from htr_vt_tpu.ops.quant import (_quantize_static,
+                                              activation_scale)
+            s1, t1 = FoldedBatchNorm(momentum=0.9,
+                                     stats_impl=self.bn_stats_impl,
+                                     name="bn1")(x, train=train)
+            a = jnp.maximum(x.astype(jnp.float32) * s1 + t1, 0.0)
+            mode, amax = activation_scale(self, "pool_amax",
+                                          a.astype(self.dtype))
+            if mode == "static":
+                xq, sx = _quantize_static(a, amax)
+                xq = jax.lax.reduce_window(
+                    xq, jnp.int8(-128), jax.lax.max, (1, 3, 3, 1),
+                    (1, 2, 1, 1), ((0, 0), (1, 1), (1, 1), (0, 0)))
+                pre = (xq, sx)
+            else:
+                # calibrate/dynamic: float pool (records the pre-pool scale)
+                x = a.astype(self.dtype)
+                x = _max_pool_3x3(x, (2, 1))
+        elif self.pool_impl == "pallas":
             # Fused BN-apply + ReLU + maxpool Pallas kernel: touches the
             # model's largest activation once per direction and folds the
             # select-and-scatter backward + BN reductions into one pass
@@ -329,16 +409,19 @@ class ResNet18Stem(nn.Module):
             x = nn.relu(x)
             x = _max_pool_3x3(x, (2, 1))
 
-        widths = list(self.widths) if self.widths is not None else \
-            [self.embed_dim // 4, self.embed_dim // 2, self.embed_dim]
         in_width = c
         for si, (w, strides) in enumerate(zip(widths, self.stage_strides)):
             needs_proj = strides != (1, 1) or in_width != w
-            x = BasicBlock(w, strides, use_projection=needs_proj, dtype=self.dtype,
-                           conv_impl=self.conv_impl, quant=self.quant,
-                           bn_stats_impl=self.bn_stats_impl,
-                           dataflow=self.dataflow,
-                           name=f"stage{si + 1}_block1")(x, train=train)
+            blk1 = BasicBlock(w, strides, use_projection=needs_proj, dtype=self.dtype,
+                              conv_impl=self.conv_impl, quant=self.quant,
+                              bn_stats_impl=self.bn_stats_impl,
+                              quant_entry=s1_int8_entry and si == 0,
+                              dataflow=self.dataflow,
+                              name=f"stage{si + 1}_block1")
+            if si == 0 and pre is not None:
+                x = blk1(None, train=train, pre_quant=pre)
+            else:
+                x = blk1(x, train=train)
             x = BasicBlock(w, (1, 1), use_projection=False, dtype=self.dtype,
                            conv_impl=self.conv_impl, quant=self.quant,
                            bn_stats_impl=self.bn_stats_impl,

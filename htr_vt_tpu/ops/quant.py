@@ -53,14 +53,17 @@ def _quantize_static(x: jax.Array, amax: jax.Array):
 
 
 def conv_int8(x: jax.Array, w: jax.Array, strides=(1, 1),
-              padding=((1, 1), (1, 1)), amax=None) -> jax.Array:
+              padding=((1, 1), (1, 1)), amax=None, xq=None, sx=None) -> jax.Array:
     """NHWC conv with A8W8 quantization, f32 output.
 
     x: [B, H, W, Ci] float; w: [kh, kw, Ci, Co] float. ``amax``: calibrated
     activation abs-max for the static path; None -> dynamic per-tensor.
+    ``xq``/``sx``: an already-quantized activation + its scale (the s8-domain
+    maxpool path, models/stem.py round 5) — skips quantization here entirely.
     """
-    xq, sx = (_quantize_static(x, amax) if amax is not None
-              else _quantize_tensor(x))
+    if xq is None:
+        xq, sx = (_quantize_static(x, amax) if amax is not None
+                  else _quantize_tensor(x))
     wq, sw = _quantize_channels(w)
     acc = jax.lax.conv_general_dilated(
         xq, wq, strides, padding,
@@ -78,6 +81,83 @@ def dot_int8(x: jax.Array, w: jax.Array, amax=None) -> jax.Array:
         xq, wq, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * (sx * sw)
+
+
+def pad_stage1_tree(params: dict, batch_stats: dict, to: int = 256):
+    """Zero-pad the stem's stage1 width (192 -> ``to``) in a checkpoint tree
+    so it loads into a model built with ``quant_stage1_pad = to``.
+
+    Exactness argument (test-pinned, tests/test_quant.py): padded kernel
+    output-channels, BN biases and running means are 0 and padded BN
+    gammas/vars are 1, so every padded channel computes
+    relu(0 * rsqrt(1+eps) + 0) = 0 through the whole stage; padded kernel
+    *input*-channels are 0, so those zeros contribute nothing to the live
+    192 channels — the logits are bit-identical to the unpadded model
+    (modulo the int8 quantization the pad exists to enable: per-tensor
+    activation amax and per-channel weight scales are unchanged by zeros).
+
+    Returns new (params, batch_stats); inputs are not mutated. A tree whose
+    stage1 is already ``to`` wide passes through unchanged (idempotent).
+    """
+    import numpy as np
+
+    def pad(a, axis, width):
+        a = np.asarray(a)
+        if a.shape[axis] == width:
+            return a
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, width - a.shape[axis])
+        return np.pad(a, pads)
+
+    def pad_const(a, width, value):
+        a = np.asarray(a)
+        if a.shape[0] == width:
+            return a
+        return np.concatenate(
+            [a, np.full((width - a.shape[0],), value, a.dtype)])
+
+    params = jax.tree.map(lambda x: x, params)          # shallow-safe copies
+    batch_stats = jax.tree.map(lambda x: x, batch_stats)
+    p = params["stem"]
+    s = batch_stats["stem"]
+
+    def pad_bn(block, names):
+        for bn in names:
+            if bn not in p[block]:
+                continue
+            p[block][bn] = dict(p[block][bn])
+            p[block][bn]["scale"] = pad_const(p[block][bn]["scale"], to, 1.0)
+            p[block][bn]["bias"] = pad_const(p[block][bn]["bias"], to, 0.0)
+            s[block][bn] = dict(s[block][bn])
+            s[block][bn]["mean"] = pad_const(s[block][bn]["mean"], to, 0.0)
+            s[block][bn]["var"] = pad_const(s[block][bn]["var"], to, 1.0)
+
+    def pad_kernel(block, conv, axes):
+        k = p[block][conv]["kernel"]
+        for ax in axes:
+            k = pad(k, ax, to)
+        p[block] = dict(p[block])
+        p[block][conv] = {"kernel": k}
+
+    for block in ("stage1_block1", "stage1_block2", "stage2_block1"):
+        p[block] = dict(p[block])
+        s[block] = dict(s.get(block, {}))
+    # stage entry: inputs stay 192 (conv1 output), outputs pad to `to`.
+    pad_kernel("stage1_block1", "conv1", (3,))
+    pad_kernel("stage1_block1", "conv2", (2, 3))
+    if "proj_conv" in p["stage1_block1"]:
+        pad_kernel("stage1_block1", "proj_conv", (3,))
+    pad_bn("stage1_block1", ("bn1", "bn2", "proj_bn"))
+    pad_kernel("stage1_block2", "conv1", (2, 3))
+    pad_kernel("stage1_block2", "conv2", (2, 3))
+    pad_bn("stage1_block2", ("bn1", "bn2"))
+    # stage exit: stage2's entry convs read the padded activations.
+    pad_kernel("stage2_block1", "conv1", (2,))
+    if "proj_conv" in p["stage2_block1"]:
+        pad_kernel("stage2_block1", "proj_conv", (2,))
+    params["stem"] = p
+    batch_stats["stem"] = s
+    return params, batch_stats
 
 
 def activation_scale(module, name: str, x: jax.Array):

@@ -33,6 +33,7 @@ def main() -> None:
 
     cfg = ExperimentConfig(model=ModelConfig(
         nb_cls=80, quant=os.environ.get("HTRVT_QUANT", "none"),
+        quant_stage1_pad=int(os.environ.get("HTRVT_STAGE1_PAD", "0")),
         quant_gelu=os.environ.get("HTRVT_QUANT_GELU", "quick"),
         pool_impl=os.environ.get("HTRVT_POOL_IMPL", "auto"),
         conv_impl=os.environ.get("HTRVT_CONV_IMPL", "auto")),

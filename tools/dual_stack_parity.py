@@ -83,8 +83,30 @@ def main() -> None:
                          "half; the cross-backend claim is the real-world "
                          "one (reference-on-GPU vs this-framework-on-TPU)")
     ap.add_argument("--out", type=str, default="docs/parity")
-    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--seed", type=int, default=7,
+                    help="data seed: fixes the synthetic datasets AND the "
+                         "deterministic batch stream")
+    ap.add_argument("--init-seed", type=int, default=None,
+                    help="weight-init seed (torch.manual_seed), default = "
+                         "--seed. Round-5 seed-variance protocol: keep --seed "
+                         "fixed (same task, same stream) and vary --init-seed "
+                         "so the per-seed (torch CER, jax CER) pairs sample "
+                         "the training-noise distribution on ONE task; the "
+                         "spread of the pair diffs bounds whether the round-4 "
+                         "0.020 gap is systematic or chaotic-trajectory noise")
+    ap.add_argument("--stack", choices=("both", "jax", "torch"),
+                    default="both",
+                    help="split the run so the TPU is not held hostage by "
+                         "the hours-long torch half: --stack jax trains the "
+                         "JAX half (optionally on TPU) and writes a "
+                         "*.jax.json sidecar; --stack torch runs CPU-only "
+                         "(never claims the TPU), loads the sidecar, and "
+                         "emits the full comparison")
     args = ap.parse_args()
+    if args.init_seed is None:
+        args.init_seed = args.seed
+    if args.stack == "torch":
+        args.jax_tpu = False
 
     # Default: CPU-sized comparison (the axon sitecustomize would otherwise
     # route the JAX half onto the real TPU; env JAX_PLATFORMS is NOT honored
@@ -152,7 +174,7 @@ def main() -> None:
 
     # ---- shared init: torch weights -> our tree ---------------------------
     import torch
-    torch.manual_seed(args.seed)
+    torch.manual_seed(args.init_seed)
     from test_reference_model_parity import _install_timm_stub  # tests/
     import importlib.util
     _install_timm_stub()
@@ -189,56 +211,82 @@ def main() -> None:
                                       total_iters=optim.total_iters,
                                       min_lr=optim.min_lr))
 
-    # ---- our stack (runs first: ~5-10x faster on CPU; aborts the run
-    # before the torch cost is paid if the recipe never exits collapse) ----
-    model = HTRVT(cfg.model)
-    tx_opt = make_base_optimizer(cfg.optim)
-    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       batch_stats=stats, opt_state=tx_opt.init(params),
-                       ema_params=jax.tree.map(jnp.copy, params),
-                       ema_batch_stats=jax.tree.map(jnp.copy, stats),
-                       rng=jax.random.PRNGKey(0))
-    step_fn = jit_train_step(model, cfg, donate=False)
-    eval_fn = jit_eval_step(model, cfg)
+    sidecar = os.path.join(
+        args.out, f"dual_stack_parity_init{args.init_seed}.jax.json")
+    if args.stack == "torch":
+        # CPU-only process: the JAX half already ran (--stack jax) and left
+        # its sidecar; never claims the TPU.
+        with open(sidecar) as f:
+            side = json.load(f)
+        j_losses = side["jax_losses"]
+        j_ckpts = {int(k): v for k, v in side["jax_ckpts"].items()}
+        j_raw_cer = side["jax_raw_cer"]
+        jax_backend_used = side.get("jax_backend", "cpu")
+    else:
+        # ---- our stack (runs first: ~5-10x faster; aborts the run before
+        # the torch cost is paid if the recipe never exits collapse) ----
+        model = HTRVT(cfg.model)
+        tx_opt = make_base_optimizer(cfg.optim)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           batch_stats=stats, opt_state=tx_opt.init(params),
+                           ema_params=jax.tree.map(jnp.copy, params),
+                           ema_batch_stats=jax.tree.map(jnp.copy, stats),
+                           rng=jax.random.PRNGKey(0))
+        step_fn = jit_train_step(model, cfg, donate=False)
+        eval_fn = jit_eval_step(model, cfg)
 
-    def jax_cer(ema_params, ema_stats):
-        m = RecognitionMetrics()
-        for batch, valid, texts in eval_batches(val_ds, converter, args.bs,
-                                                max_label_len):
-            out = eval_fn(ema_params, ema_stats,
-                          {k: jnp.asarray(v) for k, v in batch.items()})
-            preds = converter.decode_batch(np.asarray(out["pred_ids"])[:valid])
-            m.update(preds, texts)
-        return m.cer, m.wer
+        def jax_cer(ema_params, ema_stats):
+            m = RecognitionMetrics()
+            for batch, valid, texts in eval_batches(val_ds, converter, args.bs,
+                                                    max_label_len):
+                out = eval_fn(ema_params, ema_stats,
+                              {k: jnp.asarray(v) for k, v in batch.items()})
+                preds = converter.decode_batch(
+                    np.asarray(out["pred_ids"])[:valid])
+                m.update(preds, texts)
+            return m.cer, m.wer
 
-    j_losses, j_ckpts = [], {}
-    t0 = time.time()
-    for it, b in enumerate(batches):
-        state, metrics = step_fn(state, {
-            "image": jnp.asarray(b["image"]),
-            "labels": jnp.asarray(b["labels"]),
-            "label_lengths": jnp.asarray(b["label_lengths"])})
-        j_losses.append(float(metrics["loss"]))
-        if (it + 1) in ckpt_iters:
-            cer, wer = jax_cer(state.ema_params, state.ema_batch_stats)
-            j_ckpts[it + 1] = {"cer": round(cer, 4), "wer": round(wer, 4)}
-            print(f"[jax] ckpt iter {it+1}: CER {cer:.4f} WER {wer:.4f}",
-                  flush=True)
-        if (it + 1) % 50 == 0:
-            print(f"[jax] iter {it+1}/{args.iters} loss {j_losses[-1]:.4f} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
-    j_raw_cer, _ = jax_cer(state.params, state.batch_stats)
-    print(f"[jax] final raw-weights CER {j_raw_cer:.4f}", flush=True)
+        j_losses, j_ckpts = [], {}
+        t0 = time.time()
+        for it, b in enumerate(batches):
+            state, metrics = step_fn(state, {
+                "image": jnp.asarray(b["image"]),
+                "labels": jnp.asarray(b["labels"]),
+                "label_lengths": jnp.asarray(b["label_lengths"])})
+            j_losses.append(float(metrics["loss"]))
+            if (it + 1) in ckpt_iters:
+                cer, wer = jax_cer(state.ema_params, state.ema_batch_stats)
+                j_ckpts[it + 1] = {"cer": round(cer, 4), "wer": round(wer, 4)}
+                print(f"[jax] ckpt iter {it+1}: CER {cer:.4f} WER {wer:.4f}",
+                      flush=True)
+            if (it + 1) % 50 == 0:
+                print(f"[jax] iter {it+1}/{args.iters} loss "
+                      f"{j_losses[-1]:.4f} ({time.time()-t0:.0f}s)",
+                      flush=True)
+        j_raw_cer, _ = jax_cer(state.params, state.batch_stats)
+        jax_backend_used = jax.default_backend()
+        print(f"[jax] final raw-weights CER {j_raw_cer:.4f}", flush=True)
 
-    if args.pilot:
-        print(json.dumps({"pilot": True, "jax_ckpts": j_ckpts,
-                          "jax_raw_cer": round(j_raw_cer, 4)}, indent=2))
-        return
-    if j_ckpts[max(ckpt_iters)]["cer"] >= 0.9:
-        print("ABORT: JAX stack never exited blank-collapse under this "
-              "recipe; not paying for the torch half. Raise --iters or ease "
-              "the task.")
-        sys.exit(1)
+        if args.pilot:
+            print(json.dumps({"pilot": True, "jax_ckpts": j_ckpts,
+                              "jax_raw_cer": round(j_raw_cer, 4)}, indent=2))
+            return
+        if j_ckpts[max(ckpt_iters)]["cer"] >= 0.9:
+            print("ABORT: JAX stack never exited blank-collapse under this "
+                  "recipe; not paying for the torch half. Raise --iters or "
+                  "ease the task.")
+            sys.exit(1)
+        if args.stack == "jax":
+            os.makedirs(args.out, exist_ok=True)
+            with open(sidecar, "w") as f:
+                json.dump({"init_seed": args.init_seed, "seed": args.seed,
+                           "jax_backend": jax.default_backend(),
+                           "jax_ckpts": j_ckpts,
+                           "jax_raw_cer": round(j_raw_cer, 4),
+                           "jax_losses": [round(x, 4) for x in j_losses]},
+                          f, indent=1)
+            print(f"wrote {sidecar}")
+            return
 
     # ---- torch stack: the reference's literal step order ------------------
     tsam = ref_sam.SAM(tmodel.parameters(), torch.optim.AdamW, rho=optim.sam_rho,
@@ -299,8 +347,10 @@ def main() -> None:
             # Durable partial evidence: the torch half is hours of CPU; any
             # completed checkpoint prefix is already a CER comparison.
             os.makedirs(args.out, exist_ok=True)
-            with open(os.path.join(args.out,
-                                   "dual_stack_parity.partial.json"), "w") as f:
+            with open(os.path.join(
+                    args.out,
+                    f"dual_stack_parity_init{args.init_seed}.partial.json"),
+                    "w") as f:
                 json.dump({"iters_done": it + 1, "torch_ckpts": t_ckpts,
                            "jax_ckpts": j_ckpts}, f, indent=1)
         if (it + 1) % 25 == 0:
@@ -328,7 +378,8 @@ def main() -> None:
                    for it in ckpt_iters]
     result = {
         "iters": args.iters, "bs": args.bs, "img": [H, W], "nb_cls": nb_cls,
-        "jax_backend": jax.default_backend(),
+        "seed": args.seed, "init_seed": args.init_seed,
+        "jax_backend": jax_backend_used,
         "alphabet": args.alphabet,
         "label_len": [args.min_len, args.max_len],
         "glyph_scale": list(scale),
@@ -353,7 +404,9 @@ def main() -> None:
         "jax_losses": [round(x, 4) for x in j_losses],
     }
     os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, "dual_stack_parity.json")
+    name = ("dual_stack_parity.json" if args.init_seed == args.seed
+            else f"dual_stack_parity_init{args.init_seed}.json")
+    path = os.path.join(args.out, name)
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items()
