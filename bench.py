@@ -130,18 +130,24 @@ def main() -> None:
         def bench_infer(quant, width=512):
             import dataclasses
             mcfg = dataclasses.replace(cfg.model, quant=quant,
-                                       img_size=(64, width))
+                                       img_size=(64, width),
+                                       quant_stage1_pad=256 if quant == "int8"
+                                       else 0)
             imodel = HTRVT(mcfg)
             image = batch["image"][:, :, :width]
+            params, stats = state.ema_params, state.ema_batch_stats
             extra = {}
             if quant == "int8":
                 # Shared calibration home (ops/quant.py) — same scheme the
                 # serving CLIs ship; the bench has one synthetic batch, so
-                # the running-max folds a single batch here.
-                from htr_vt_tpu.ops.quant import calibrate_quant_stats
+                # the running-max folds a single batch here. Stage1 is
+                # zero-padded to 256 ch so its convs run int8 (round 5,
+                # ops/quant.py:pad_stage1_tree).
+                from htr_vt_tpu.ops.quant import (calibrate_quant_stats,
+                                                  pad_stage1_tree)
+                params, stats = pad_stage1_tree(params, stats, 256)
                 extra["quant_stats"] = calibrate_quant_stats(
-                    imodel, {"params": state.ema_params,
-                             "batch_stats": state.ema_batch_stats},
+                    imodel, {"params": params, "batch_stats": stats},
                     [image], n_batches=1)
 
             @jax.jit
@@ -150,11 +156,11 @@ def main() -> None:
                     {"params": p, "batch_stats": b, **extra}, img,
                     train=False))
 
-            out = infer(state.ema_params, state.ema_batch_stats, image)
+            out = infer(params, stats, image)
             np.asarray(jax.tree.leaves(out)[0])
             t0 = time.perf_counter()
             for _ in range(30):
-                out = infer(state.ema_params, state.ema_batch_stats, image)
+                out = infer(params, stats, image)
             np.asarray(jax.tree.leaves(out)[0])
             return 30 * batch_size / (time.perf_counter() - t0)
 

@@ -61,10 +61,17 @@ def main() -> None:
     model = build_model(cfg.model)
     bs = args.batch_size
     h, base_w = cfg.model.img_size
+    # restore through a pad-free template, then adapt (int8 stage1 pad)
+    tmpl_cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, quant_stage1_pad=0))
     sample = np.zeros((bs, h, base_w, 1), np.float32)
-    template = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+    template = create_train_state(tmpl_cfg, build_model(tmpl_cfg.model),
+                                  jax.random.PRNGKey(0), sample)
     ckpt = CheckpointManager(os.path.dirname(args.checkpoint.rstrip("/")) or ".")
     state, _ = ckpt.restore(args.checkpoint, template)
+    from htr_vt_tpu.ops.quant import serving_arrays
+    sparams, sstats = serving_arrays(cfg.model, state.ema_params,
+                                     state.ema_batch_stats)
 
     platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
                  if args.platforms else None)
@@ -83,8 +90,7 @@ def main() -> None:
     else:
         widths = [base_w]
 
-    base_vars = {"params": state.ema_params,
-                 "batch_stats": state.ema_batch_stats}
+    base_vars = {"params": sparams, "batch_stats": sstats}
     if cfg.model.quant == "int8":
         # Calibrate static activation scales once at the dataset's native
         # width (running abs-max over a few eval batches — see cli/test.py);

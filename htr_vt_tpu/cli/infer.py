@@ -51,10 +51,17 @@ def main() -> None:
         cfg.model, nb_cls=converter.num_classes))
     model = build_model(cfg.model)
 
+    # restore through a pad-free template, then adapt (int8 stage1 pad)
+    tmpl_cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, quant_stage1_pad=0))
     sample = np.zeros((1, *cfg.model.img_size, 1), np.float32)
-    template = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+    template = create_train_state(tmpl_cfg, build_model(tmpl_cfg.model),
+                                  jax.random.PRNGKey(0), sample)
     ckpt = CheckpointManager(os.path.dirname(args.checkpoint.rstrip("/")) or ".")
     state, _ = ckpt.restore(args.checkpoint, template)
+    from htr_vt_tpu.ops.quant import serving_arrays
+    sparams, sstats = serving_arrays(cfg.model, state.ema_params,
+                                     state.ema_batch_stats)
 
     raw = np.array(Image.open(args.image).convert("L"))
     h, w = cfg.model.img_size
@@ -68,7 +75,7 @@ def main() -> None:
         # Calibrate static scales on the actual input image (single-image
         # inference has no separate calibration stream).
         _, mut = model.apply(
-            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+            {"params": sparams, "batch_stats": sstats},
             variants[0][1][None], train=False, mutable=["quant_stats"])
         extra = {"quant_stats": mut["quant_stats"]}
     eval_fn = jit_eval_step(model, cfg, extra_vars=extra)
@@ -86,7 +93,7 @@ def main() -> None:
         batch = {"image": img[None],
                  "labels": np.zeros((1, 8), np.int32),
                  "label_lengths": np.zeros((1,), np.int32)}
-        out = eval_fn(state.ema_params, state.ema_batch_stats, batch)
+        out = eval_fn(sparams, sstats, batch)
         text = converter.decode_batch(np.asarray(out["pred_ids"]))[0]
         print(f"[{name}] {text}")
         if corrector is not None:

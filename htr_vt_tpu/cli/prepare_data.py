@@ -185,6 +185,15 @@ def check_lists(lists_dir: str, lines_dir: str) -> Dict[str, float]:
     ln_files = [n for n in sorted(os.listdir(lists_dir)) if n.endswith(".ln")]
     if not ln_files:
         _fail("lists", f"no .ln files in {lists_dir}")
+    # An absent split must be an explicit preflight FAIL, not a silent
+    # partial validation (advisor r4: read2016 once shipped test.ln only and
+    # the train path crashed later with a bare FileNotFoundError).
+    absent = [n for n in ("train.ln", "val.ln", "test.ln")
+              if n not in ln_files]
+    if absent:
+        _fail("lists", f"{lists_dir} is missing expected split list(s) "
+              f"{absent} — training/eval need all three (the reference "
+              f"ships train/val/test .ln per dataset)")
     for name in ln_files:
         names = [l.strip() for l in open(os.path.join(lists_dir, name))
                  if l.strip()]
@@ -206,6 +215,10 @@ def smoke_train(lines_dir: str, lists_dir: str, dataset: str,
     entry the full runs use (cli/train.py)."""
     from htr_vt_tpu.data.format_datasets import write_list_file
     train_src = os.path.join(lists_dir, "train.ln")
+    if not os.path.exists(train_src):
+        _fail("smoke", f"{train_src} does not exist — cannot build the "
+              f"smoke split (ship the dataset's train.ln next to its "
+              f"test.ln, as data/iam does)")
     names = [l.strip() for l in open(train_src) if l.strip()][:n_lines]
     smoke_dir = os.path.join(out_dir, "_smoke")
     os.makedirs(smoke_dir, exist_ok=True)

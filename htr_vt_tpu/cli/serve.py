@@ -117,12 +117,20 @@ def main() -> None:
     import dataclasses
     cfg = dataclasses.replace(cfg, model=dataclasses.replace(
         cfg.model, nb_cls=converter.num_classes))
-    model = build_model(cfg.model)
+    # Checkpoints are stored at the training widths (192-ch stage1); the
+    # restore template must match them, so build it pad-free and adapt the
+    # trees afterwards (ops/quant.py:serving_arrays).
+    tmpl_cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, quant_stage1_pad=0))
+    model = build_model(tmpl_cfg.model)
     bs = args.batch_size
     sample = np.zeros((bs, *cfg.model.img_size, 1), np.float32)
-    template = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+    template = create_train_state(tmpl_cfg, model, jax.random.PRNGKey(0), sample)
     ckpt = CheckpointManager(os.path.dirname(args.checkpoint.rstrip("/")) or ".")
     state, _ = ckpt.restore(args.checkpoint, template)
+    from htr_vt_tpu.ops.quant import serving_arrays
+    sparams, sstats = serving_arrays(cfg.model, state.ema_params,
+                                     state.ema_batch_stats)
 
     scorer = None
     if args.arpa:
@@ -176,8 +184,7 @@ def main() -> None:
 
                 extra = {"quant_stats": calibrate_quant_stats(
                     model_b,
-                    {"params": state.ema_params,
-                     "batch_stats": state.ema_batch_stats},
+                    {"params": sparams, "batch_stats": sstats},
                     calib_batches(), n_batches=args.calib_batches)}
             eval_fns[width] = jit_eval_step(model_b, cfg_b, extra_vars=extra)
         return eval_fns[width]
@@ -203,8 +210,7 @@ def main() -> None:
     def transcribe(chunk, width, imgs):
         batch = {"image": imgs, "labels": np.zeros((bs, 8), np.int32),
                  "label_lengths": np.zeros((bs,), np.int32)}
-        out = eval_for(width, imgs)(state.ema_params, state.ema_batch_stats,
-                                    batch)
+        out = eval_for(width, imgs)(sparams, sstats, batch)
         texts = converter.decode_batch(np.asarray(out["pred_ids"])[:len(chunk)])
         if scorer is not None:
             from htr_vt_tpu.decode.beam import prefix_beam_search

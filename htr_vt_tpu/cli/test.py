@@ -49,10 +49,19 @@ def main() -> None:
     model = build_model(cfg.model)
     max_label_len = choose_max_label_len(train_ds.labels, cfg.model.num_tokens)
 
+    # Checkpoints live at the training widths; restore through a pad-free
+    # template, then adapt to the serving model (int8 stage1 pad — round 5,
+    # ops/quant.py:serving_arrays).
+    tmpl_cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, quant_stage1_pad=0))
     sample = np.zeros((cfg.data.val_bs, *cfg.model.img_size, 1), np.float32)
-    template = create_train_state(cfg, model, jax.random.PRNGKey(0), sample)
+    template = create_train_state(tmpl_cfg, build_model(tmpl_cfg.model),
+                                  jax.random.PRNGKey(0), sample)
     ckpt = CheckpointManager(os.path.dirname(args.checkpoint.rstrip("/")) or ".")
     state, meta = ckpt.restore(args.checkpoint, template)
+    from htr_vt_tpu.ops.quant import serving_arrays
+    sparams, sstats = serving_arrays(cfg.model, state.ema_params,
+                                     state.ema_batch_stats)
 
     mesh = make_mesh(cfg.parallel)
     extra = None
@@ -64,13 +73,13 @@ def main() -> None:
         from htr_vt_tpu.ops.quant import calibrate_quant_stats
         extra = {"quant_stats": calibrate_quant_stats(
             model,
-            {"params": state.ema_params, "batch_stats": state.ema_batch_stats},
+            {"params": sparams, "batch_stats": sstats},
             (b["image"] for b, _, _ in eval_batches(
                 eval_ds, converter, cfg.data.val_bs, max_label_len)),
             args.calib_batches)}
     eval_fn = jit_eval_step(model, cfg, extra_vars=extra)
     loss, cer, wer, preds, labels = validate(
-        eval_fn, state.ema_params, state.ema_batch_stats,
+        eval_fn, sparams, sstats,
         eval_batches(eval_ds, converter, cfg.data.val_bs, max_label_len),
         converter, sharding=batch_sharding(mesh, cfg.parallel))
     print(f"loss {loss:.4f}  CER {cer:.4f}  WER {wer:.4f}  ({len(preds)} samples)")

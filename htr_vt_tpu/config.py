@@ -122,12 +122,16 @@ class ModelConfig:
     quant: str = "none"
     # Zero-pad the stage1 width (192 -> this many channels) on the int8
     # serving path so its convs hit the int8 MXU tiling that `_int8_pays`
-    # requires (256-multiples). Logits are EXACTLY preserved: pad kernels,
-    # BN shifts and running means are zero, pad gammas/vars one, so padded
-    # channels carry zeros through the whole stage (test-pinned,
-    # tests/test_quant.py). 0 = off. Checkpoints trained at 192 load through
-    # ops/quant.py:pad_stage1_tree. Only consulted when quant == "int8".
-    quant_stage1_pad: int = 0
+    # requires (256-multiples). In exact arithmetic the logits are
+    # unchanged: pad kernels, BN shifts and running means are zero, pad
+    # gammas/vars one, so padded channels carry zeros through the whole
+    # stage (test-pinned, tests/test_quant.py; in bf16 the different conv
+    # tilings reorder f32 accumulations, a noise term below the int8
+    # quantization floor). 0 = off. Checkpoints trained at 192 load through
+    # ops/quant.py:serving_arrays / pad_stage1_tree. Only consulted when
+    # quant == "int8" on the resnet18 stem. Default on: measured 4,665 ->
+    # 5,500 img/s at the 512-px serving shape (round 5, docs/PERF.md).
+    quant_stage1_pad: int = 256
     # GELU on the quantized serving path: "quick" = x*sigmoid(1.702x), one
     # transcendental instead of erf's chain — measured +10% int8 serving
     # throughput (4,663 vs 4,248 img/s, docs/PERF.md); "exact" keeps erf.

@@ -62,11 +62,13 @@ def validate(eval_fn, params, batch_stats, batches, converter: CTCLabelConverter
         preds = converter.decode_batch(pred_ids)
         metrics.update(preds, texts)
         if loss_rows is not None:
-            # Sum losses over the valid rows only: eval_batches pads the
-            # last batch by repeating sample 0, and averaging over padded
-            # rows (or weighting every batch equally) biases val-loss on
-            # non-divisible splits vs the reference's short-final-batch
-            # accounting (valid.py:30-38).
+            # Sum losses over the valid rows only, giving an unbiased
+            # PER-SAMPLE mean. This is an intentional deviation from the
+            # reference, which averages per-batch means with equal batch
+            # weights (valid.py:44,74) and therefore over-weights a short
+            # final batch on non-divisible splits; the two coincide exactly
+            # when the split divides the batch size
+            # (tests/test_validate_loss.py pins both facts).
             total_loss += float(np.asarray(loss_rows)[:valid].sum())
             count += valid
         else:  # eval fns without per-sample losses (e.g. encoder-decoder)

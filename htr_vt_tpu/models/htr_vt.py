@@ -35,6 +35,16 @@ from htr_vt_tpu.models.sgm import SGMHead
 from htr_vt_tpu.models.stem import ResNet18Stem
 
 
+def _stage1_pad_applies(cfg) -> bool:
+    """The int8 stage1 pad applies only where it buys tiling: a stage1 width
+    that is >= 128 but off the 128-lane grid (the flagship's 192), padded UP
+    to quant_stage1_pad. Tiny test models (stage1 16-64 ch) and already-
+    aligned widths keep their native tree."""
+    s1 = cfg.embed_dim // 4
+    return (cfg.quant == "int8" and bool(cfg.quant_stage1_pad)
+            and s1 >= 128 and s1 % 128 != 0 and cfg.quant_stage1_pad > s1)
+
+
 class HTRVT(nn.Module):
     cfg: ModelConfig
 
@@ -70,7 +80,7 @@ class HTRVT(nn.Module):
             # serving-only, so the module-level width is safe to derive from
             # cfg.quant alone.
             widths = None
-            if cfg.quant == "int8" and cfg.quant_stage1_pad:
+            if _stage1_pad_applies(cfg):
                 widths = (cfg.quant_stage1_pad, cfg.embed_dim // 2,
                           cfg.embed_dim)
             stem = ResNet18Stem(embed_dim=cfg.embed_dim, dtype=dtype,

@@ -87,7 +87,10 @@ class QDense(nn.Module):
             if mode == "calibrate":
                 quant = False  # record stats, run float this pass
             else:
-                y = dot_int8(x, kernel, amax=amax).astype(self.dtype)
+                # bf16 dequant: the epilogue over the [M, N] accumulator is
+                # VPU-bound at serving shapes; bf16 noise (2^-8) is below the
+                # s8 requant granularity downstream (ops/quant.py:dot_int8).
+                y = dot_int8(x, kernel, amax=amax, dequant_dtype=self.dtype)
         if not quant:
             y = jax.lax.dot_general(
                 x.astype(self.dtype), kernel.astype(self.dtype),
@@ -118,7 +121,9 @@ class Mlp(nn.Module):
             # instead of erf's polynomial chain. The GELU was the single
             # largest non-matmul cost of the int8 serving step (~0.55 ms per
             # MLP on [128,128,3072] — measured, docs/PERF.md); +10% img/s.
-            x = x * jax.nn.sigmoid(1.702 * x.astype(jnp.float32)).astype(x.dtype)
+            # computed in the layer dtype (bf16): the sigmoid feeds an s8
+            # requant, so bf16 precision is already above the output floor
+            x = x * jax.nn.sigmoid(jnp.asarray(1.702, x.dtype) * x)
         else:
             x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)

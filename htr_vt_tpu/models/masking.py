@@ -150,8 +150,24 @@ def span_spacing_mask(rng: jax.Array, batch: int, length: int, ratio: float,
         accept = (~conflict) & (covered < target)
         return masked | (seg & accept[:, None])
 
-    masked = jax.lax.fori_loop(
-        0, _span_placements(length), body, jnp.zeros((batch, length), bool))
+    # while_loop with a coverage early-exit (advisor r4): the worst-case
+    # budget is 2*L attempts (1024 at L=512) but coverage typically
+    # saturates within a few dozen — matching the reference's pairing of a
+    # 10000-cap with an early exit (:286-291). Identical masks to the
+    # bounded fori_loop for the same rng: each attempt folds `i` into the
+    # stream, and attempts after full coverage are rejected no-ops.
+    budget = _span_placements(length)
+
+    def cond(carry):
+        i, masked = carry
+        return (i < budget) & jnp.any(masked.sum(axis=1) < target)
+
+    def wbody(carry):
+        i, masked = carry
+        return i + 1, body(i, masked)
+
+    _, masked = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), jnp.zeros((batch, length), bool)))
     return (1.0 - masked.astype(jnp.float32))[:, :, None]
 
 

@@ -159,6 +159,12 @@ class BasicBlock(nn.Module):
     bn_stats_impl: str = "auto"  # auto | pallas | xla (ops/bn_stats.py)
     quant: bool = False  # dynamic-int8 convs (inference only; ops/quant.py)
     quant_entry: bool = False  # int8 also for the 192-in stage-entry convs
+    # s8-carry serving chain: quantize this block's OUTPUT with its own
+    # calibrated "out_amax" and return (q, scale) instead of bf16, so the
+    # next block's conv reads s8 directly and its residual dequantizes the
+    # same s8 — removes the per-block bf16->s8 requant passes (2x 0.6 ms at
+    # stage1 shapes, round 5).
+    emit_quant: bool = False
     dataflow: str = "plain"  # plain | folded (see __call__ docstring)
 
     @nn.compact
@@ -233,23 +239,25 @@ class BasicBlock(nn.Module):
 
                 def q(x, k, scale=None, shift=None, *, strides=(1, 1),
                       relu=True):
+                    from htr_vt_tpu.ops.quant import conv_int8_bf16
                     if isinstance(x, tuple):
                         # Pre-quantized s8 input from the stem's s8-domain
                         # maxpool (quantize-before-pool is exact: round is
                         # monotone, so max(q(x)) == q(max(x))).
                         xq_in, sx_in = x
-                        return conv_int8(None, k, strides, xq=xq_in,
-                                         sx=sx_in).astype(dt)
+                        return conv_int8_bf16(None, k, strides, xq=xq_in,
+                                              sx=sx_in)
                     if scale is not None:
-                        a = x.astype(jnp.float32) * scale + shift
+                        a = (x.astype(dt) * scale.astype(dt)
+                             + shift.astype(dt))
                         if relu:
-                            a = jnp.maximum(a, 0.0)
-                        x = a.astype(dt)
+                            a = jnp.maximum(a, jnp.asarray(0.0, dt))
+                        x = a
                     mode, amax = activation_scale(self, f"{site}_amax", x)
                     if mode == "calibrate":
                         return conv3x3_bn_relu_reference(
                             x, k, strides=strides, relu=False)
-                    return conv_int8(x, k, strides, amax=amax).astype(dt)
+                    return conv_int8_bf16(x, k, strides, amax=amax)
                 return q
         else:
             def conv_fn(site):
@@ -262,8 +270,7 @@ class BasicBlock(nn.Module):
                                           name=name)
 
         if pre_quant is not None:
-            assert self.quant and self.use_projection, \
-                "pre-quantized input requires an int8 stage entry with proj"
+            assert self.quant, "pre-quantized input requires the int8 path"
             x_in = pre_quant
         else:
             x = _conv_in(x.astype(dt))
@@ -284,10 +291,10 @@ class BasicBlock(nn.Module):
                 or (self.quant_entry and self.features % 128 == 0
                     and self.features >= 256 and cin % 64 == 0))
             if pre_quant is not None:
-                from htr_vt_tpu.ops.quant import conv_int8
-                p = conv_int8(None, kp.astype(dt), self.strides,
-                              padding=((0, 0), (0, 0)),
-                              xq=pre_quant[0], sx=pre_quant[1]).astype(dt)
+                from htr_vt_tpu.ops.quant import conv_int8_bf16
+                p = conv_int8_bf16(None, kp.astype(dt), self.strides,
+                                   padding=((0, 0), (0, 0)),
+                                   xq=pre_quant[0], sx=pre_quant[1])
             else:
                 if quant_proj:
                     from htr_vt_tpu.ops.quant import (activation_scale,
@@ -302,11 +309,29 @@ class BasicBlock(nn.Module):
                         x, kp.astype(dt), self.strides, "VALID",
                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
             sp, tp = bn("proj_bn")(p, train=train)
-            residual = p.astype(jnp.float32) * sp + tp
+            # Serving (quant) epilogues run in bf16 — VPU-bound passes over
+            # [B,H,W,C]; bf16 noise is below the s8 requant floor. Training
+            # and float eval keep f32.
+            ept = dt if self.quant else jnp.float32
+            residual = p.astype(ept) * sp.astype(ept) + tp.astype(ept)
+        elif pre_quant is not None:
+            # identity residual read straight from the s8 carry (same values
+            # the convs consume; dequant fuses into the output pass)
+            ept = dt if self.quant else jnp.float32
+            residual = (pre_quant[0].astype(ept)
+                        * pre_quant[1].astype(ept))
         else:
-            residual = x.astype(jnp.float32)
+            ept = dt if self.quant else jnp.float32
+            residual = x.astype(ept)
 
-        out = jnp.maximum(y2.astype(jnp.float32) * s2 + t2 + residual, 0.0)
+        out = jnp.maximum(y2.astype(ept) * s2.astype(ept) + t2.astype(ept)
+                          + residual, jnp.asarray(0.0, ept))
+        if self.quant and self.emit_quant:
+            from htr_vt_tpu.ops.quant import (_quantize_static,
+                                              activation_scale)
+            mode, amax = activation_scale(self, "out_amax", out.astype(dt))
+            if mode == "static":
+                return _quantize_static(out, amax)  # (q, scale) carry
         return out.astype(dt)
 
 
@@ -410,24 +435,29 @@ class ResNet18Stem(nn.Module):
             x = _max_pool_3x3(x, (2, 1))
 
         in_width = c
+        # s8-carry chain (int8 serving with the 256 pad): every block hands
+        # its successor (q, scale) instead of bf16 — the carry is a tuple
+        # whenever the producing block ran in static-quant mode.
+        carry = pre if pre is not None else x
+        n_stages = len(widths)
         for si, (w, strides) in enumerate(zip(widths, self.stage_strides)):
             needs_proj = strides != (1, 1) or in_width != w
-            blk1 = BasicBlock(w, strides, use_projection=needs_proj, dtype=self.dtype,
-                              conv_impl=self.conv_impl, quant=self.quant,
-                              bn_stats_impl=self.bn_stats_impl,
-                              quant_entry=s1_int8_entry and si == 0,
-                              dataflow=self.dataflow,
-                              name=f"stage{si + 1}_block1")
-            if si == 0 and pre is not None:
-                x = blk1(None, train=train, pre_quant=pre)
-            else:
-                x = blk1(x, train=train)
-            x = BasicBlock(w, (1, 1), use_projection=False, dtype=self.dtype,
-                           conv_impl=self.conv_impl, quant=self.quant,
-                           bn_stats_impl=self.bn_stats_impl,
-                           dataflow=self.dataflow,
-                           name=f"stage{si + 1}_block2")(x, train=train)
+            for bi, (st, proj) in enumerate(((strides, needs_proj),
+                                             ((1, 1), False))):
+                last = si == n_stages - 1 and bi == 1
+                blk = BasicBlock(w, st, use_projection=proj, dtype=self.dtype,
+                                 conv_impl=self.conv_impl, quant=self.quant,
+                                 bn_stats_impl=self.bn_stats_impl,
+                                 quant_entry=s1_int8_entry and si == 0,
+                                 emit_quant=s1_int8_entry and not last,
+                                 dataflow=self.dataflow,
+                                 name=f"stage{si + 1}_block{bi + 1}")
+                if isinstance(carry, tuple):
+                    carry = blk(None, train=train, pre_quant=carry)
+                else:
+                    carry = blk(carry, train=train)
             in_width = w
+        x = carry
 
         if self.final_maxpool:
             x = _max_pool_3x3(x, (2, 1))

@@ -247,10 +247,17 @@ class Block(nn.Module):
         dp1 = DropPath(self.drop_path, name="drop_path1")
         dp2 = DropPath(self.drop_path, name="drop_path2")
 
+        # On the int8 serving path, barrier each residual so the NEXT norm's
+        # stats reduce materializes as its own cheap pass instead of fusing
+        # into the int8 matmul epilogue (measurement knob, round 5).
+        import os
+        bar = (jax.lax.optimization_barrier
+               if self.quant and os.environ.get("HTRVT_VIT_BARRIER") == "1"
+               else (lambda t: t))
         y = attn(norm("norm1")(x).astype(self.dtype), deterministic=deterministic)
-        x = x + dp1(ls1(y), deterministic=deterministic)
+        x = bar(x + dp1(ls1(y), deterministic=deterministic))
         y = Mlp(int(dim * self.mlp_ratio), drop_rate=self.drop, dtype=self.dtype,
                 quant=self.quant, quick_gelu=self.quick_gelu,
                 name="mlp")(norm("norm2")(x).astype(self.dtype), deterministic=deterministic)
-        x = x + dp2(ls2(y), deterministic=deterministic)
+        x = bar(x + dp2(ls2(y), deterministic=deterministic))
         return x

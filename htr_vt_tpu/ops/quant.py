@@ -72,15 +72,37 @@ def conv_int8(x: jax.Array, w: jax.Array, strides=(1, 1),
     return acc.astype(jnp.float32) * (sx * sw)
 
 
-def dot_int8(x: jax.Array, w: jax.Array, amax=None) -> jax.Array:
-    """[..., K] @ [K, N] with A8W8 quantization, f32 output."""
+def conv_int8_bf16(x, w, strides=(1, 1), padding=((1, 1), (1, 1)),
+                   amax=None, xq=None, sx=None) -> jax.Array:
+    """conv_int8 with a bf16 dequant epilogue (serving stem, round 5): the
+    per-channel dequant over a [B,H,W,C] s8 accumulator is VPU-bound; bf16
+    noise (2^-8) sits below the s8 requant granularity downstream."""
+    if xq is None:
+        xq, sx = (_quantize_static(x, amax) if amax is not None
+                  else _quantize_tensor(x))
+    wq, sw = _quantize_channels(w)
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.bfloat16) * (sx * sw).astype(jnp.bfloat16)
+
+
+def dot_int8(x: jax.Array, w: jax.Array, amax=None,
+             dequant_dtype=jnp.float32) -> jax.Array:
+    """[..., K] @ [K, N] with A8W8 quantization, ``dequant_dtype`` output.
+
+    ``dequant_dtype=bfloat16`` halves the VPU cost of the dequant epilogue
+    over the [M, N] accumulator (measured on the serving ViT, round 5); the
+    bf16 mantissa (2^-8) sits below the s8 requantization granularity that
+    follows on the serving path, so the noise budget is unchanged."""
     xq, sx = (_quantize_static(x, amax) if amax is not None
               else _quantize_tensor(x))
     wq, sw = _quantize_channels(w)
     acc = jax.lax.dot_general(
         xq, wq, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * (sx * sw)
+    return acc.astype(dequant_dtype) * (sx * sw).astype(dequant_dtype)
 
 
 def pad_stage1_tree(params: dict, batch_stats: dict, to: int = 256):
@@ -157,6 +179,20 @@ def pad_stage1_tree(params: dict, batch_stats: dict, to: int = 256):
         pad_kernel("stage2_block1", "proj_conv", (2,))
     params["stem"] = p
     batch_stats["stem"] = s
+    return params, batch_stats
+
+
+def serving_arrays(cfg_model, params: dict, batch_stats: dict):
+    """Adapt checkpoint trees to the serving model built from ``cfg_model``:
+    zero-pads stage1 when the int8 path runs with ``quant_stage1_pad`` (the
+    default serving configuration since round 5). No-op otherwise. Every
+    int8 entry point (cli/{test,serve,export,infer}.py, bench.py) routes
+    through this so the pad policy has one home."""
+    from htr_vt_tpu.models.htr_vt import _stage1_pad_applies
+    if (getattr(cfg_model, "stem", "resnet18") == "resnet18"
+            and _stage1_pad_applies(cfg_model)):
+        return pad_stage1_tree(params, batch_stats,
+                               cfg_model.quant_stage1_pad)
     return params, batch_stats
 
 

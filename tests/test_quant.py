@@ -230,3 +230,63 @@ def test_calibrate_quant_stats_running_max():
     # n_batches truncates the iterable
     s_trunc = calibrate_quant_stats(model, base, [small, big], 1)
     np.testing.assert_allclose(leaves(s_trunc), leaves(s_small), rtol=1e-6)
+
+
+def test_stage1_pad_preserves_predictions():
+    """quant_stage1_pad (round 5): pad_stage1_tree zero-pads a 192-ch
+    flagship tree to the 256-wide serving model. In exact arithmetic the
+    logits are unchanged (zero kernels/shifts/means, unit gammas/vars keep
+    every padded channel at exactly 0 through the stage); in bf16 the
+    different conv tilings reorder f32 accumulation, so the pin is
+    prediction equality plus a logit-noise bound at the int8 noise floor.
+    Also pins: idempotence, and that tiny models bypass the pad
+    (_stage1_pad_applies)."""
+    import dataclasses
+
+    from htr_vt_tpu.config import MaskConfig, ModelConfig
+    from htr_vt_tpu.models.htr_vt import HTRVT, _stage1_pad_applies
+    from htr_vt_tpu.ops.quant import (calibrate_quant_stats, pad_stage1_tree,
+                                      serving_arrays)
+
+    # gate: flagship pads, tiny and already-aligned widths do not
+    flag = ModelConfig(nb_cls=8, img_size=(64, 64), quant="int8")
+    assert _stage1_pad_applies(flag)
+    assert not _stage1_pad_applies(dataclasses.replace(flag, embed_dim=64))
+    assert not _stage1_pad_applies(dataclasses.replace(flag, embed_dim=1024))
+    assert not _stage1_pad_applies(dataclasses.replace(flag, quant="none"))
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+    f_cfg = dataclasses.replace(flag, quant="none")
+    fmodel = HTRVT(f_cfg)
+    key = jax.random.PRNGKey(0)
+    variables = fmodel.init({"params": key, "mask": key, "dropout": key},
+                            img, train=False)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    pp, ps = serving_arrays(flag, params, stats)
+    k = pp["stem"]["stage1_block1"]["conv1"]["kernel"]
+    assert k.shape == (3, 3, 192, 256)
+    assert np.abs(np.asarray(k)[..., 192:]).max() == 0.0
+    assert ps["stem"]["stage1_block2"]["bn1"]["var"].shape == (256,)
+    # idempotent on an already-padded tree
+    pp2, ps2 = pad_stage1_tree(pp, ps, 256)
+    np.testing.assert_array_equal(
+        np.asarray(pp2["stem"]["stage1_block2"]["conv2"]["kernel"]),
+        np.asarray(pp["stem"]["stage1_block2"]["conv2"]["kernel"]))
+
+    yf = fmodel.apply({"params": params, "batch_stats": stats}, img,
+                      train=False)
+    qmodel = HTRVT(flag)
+    qs = calibrate_quant_stats(qmodel, {"params": pp, "batch_stats": ps},
+                               [img], 1)
+    yq = qmodel.apply({"params": pp, "batch_stats": ps, "quant_stats": qs},
+                      img, train=False)
+    assert yq.shape == yf.shape
+    af = np.argmax(np.asarray(yf, np.float32), -1)
+    aq = np.argmax(np.asarray(yq, np.float32), -1)
+    assert (af == aq).mean() == 1.0
+    rel = float(jnp.linalg.norm(yq.astype(jnp.float32)
+                                - yf.astype(jnp.float32))
+                / (jnp.linalg.norm(yf.astype(jnp.float32)) + 1e-9))
+    assert rel < 0.15, rel

@@ -77,6 +77,7 @@ def main() -> None:
     for width in buckets:
         cfg = ExperimentConfig(model=ModelConfig(
             nb_cls=80, img_size=(64, width), quant=quant,
+            quant_stage1_pad=int(os.environ.get("HTRVT_STAGE1_PAD", "256")),
             quant_gelu=os.environ.get("HTRVT_QUANT_GELU", "quick")),
             optim=OptimConfig())
         model = HTRVT(cfg.model)
