@@ -185,9 +185,16 @@ def main() -> None:
         # 384-px bucket is measured too — the bucket sweep
         # (tools/bench_serve_buckets.py) showed it lifts the effective rate
         # ~6% over {256,512} at this mix.
+        # Round 5: finer routing (320/448 buckets) — same workload, same
+        # per-line pixels (training pads/caps at 512 the same way), each
+        # line just runs the smallest program that holds it. Measured rates
+        # tools/bench_serve_buckets.py; CER per bucket validated on the
+        # trained checkpoint via cli/serve.py --selftest.
         from htr_vt_tpu.data.synthetic import selftest_workload_mix
-        mix = selftest_workload_mix([256, 384, 512])
-        rates = {256: r256, 384: bench_infer("int8", width=384), 512: r512}
+        mix = selftest_workload_mix([256, 320, 384, 448, 512])
+        rates = {256: r256, 512: r512}
+        for w in (320, 384, 448):
+            rates[w] = bench_infer("int8", width=w)
         eff = 1.0 / sum(frac / rates[b] for b, frac in mix.items() if frac)
         record["serve_effective_img_s"] = round(eff, 1)
         record["serve_effective_vs_baseline"] = round(eff / 1300.0, 2)

@@ -78,7 +78,11 @@ class ConvModule(nn.Module):
         use_glu = hidden % 2 == 0
         inner = hidden // 2 if use_glu else hidden
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm")(x).astype(self.dtype)
+        # eps 1e-5: the reference ConvModule uses torch's LayerNorm default
+        # (model_sgm_mms_conv/model/HTR_VT.py:126), unlike the 1e-6 block
+        # norms built via partial(nn.LayerNorm, eps=1e-6)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                         name="norm")(x).astype(self.dtype)
         y = QDense(hidden, dtype=self.dtype, quant=self.quant,
                    kernel_init=nn.initializers.lecun_normal(),
                    name="pw1")(y)  # 1x1 conv == Dense
@@ -191,6 +195,28 @@ class SqueezeFormerEncoder(nn.Module):
                             name="out_norm")(x).astype(x.dtype)
 
 
+class FeedForward(nn.Module):
+    """Conformer position-wise FFN: lin1 -> SiLU -> lin2 -> dropout
+    (model_sgm_mms_conv/model/HTR_VT.py:103-114 — note SiLU, not the ViT
+    Mlp's GELU; round-5 parity fix, the conformer/squeezeformer families
+    previously reused Mlp and deviated from the reference activation)."""
+
+    hidden_dim: int
+    drop_rate: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        from htr_vt_tpu.models.layers import QDense
+        d = x.shape[-1]
+        y = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
+                   name="lin1")(x)
+        y = nn.silu(y)
+        y = QDense(d, dtype=self.dtype, quant=self.quant, name="lin2")(y)
+        return nn.Dropout(self.drop_rate, deterministic=deterministic)(y)
+
+
 class ConformerBlock(nn.Module):
     """Half-FFN -> MHSA -> ConvModule -> half-FFN -> final LN
     (model_sgm_mms_conv/model/HTR_VT.py:228+); macaron-halved FFNs scaled 0.5.
@@ -219,9 +245,8 @@ class ConformerBlock(nn.Module):
                                          dtype=jnp.float32, name=name)
         dp = DropPath(self.drop_path, name="dp")
 
-        ff1 = Mlp(int(d * self.mlp_ratio), drop_rate=self.ff_drop,
-                  dtype=self.dtype, quant=self.quant,
-                  quick_gelu=self.quick_gelu, name="ffn1")
+        ff1 = FeedForward(int(d * self.mlp_ratio), drop_rate=self.ff_drop,
+                          dtype=self.dtype, quant=self.quant, name="ffn1")
         x = x + dp(0.5 * ff1(norm("ffn1_norm")(x).astype(self.dtype),
                              deterministic=deterministic),
                    deterministic=deterministic)
@@ -240,9 +265,8 @@ class ConformerBlock(nn.Module):
         if self.use_se:
             x = SqueezeExcite1D(dtype=self.dtype, name="se")(x)
 
-        ff2 = Mlp(int(d * self.mlp_ratio), drop_rate=self.ff_drop,
-                  dtype=self.dtype, quant=self.quant,
-                  quick_gelu=self.quick_gelu, name="ffn2")
+        ff2 = FeedForward(int(d * self.mlp_ratio), drop_rate=self.ff_drop,
+                          dtype=self.dtype, quant=self.quant, name="ffn2")
         x = x + dp(0.5 * ff2(norm("ffn2_norm")(x).astype(self.dtype),
                              deterministic=deterministic),
                    deterministic=deterministic)

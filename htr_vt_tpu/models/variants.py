@@ -56,7 +56,12 @@ def window_blocks(cfg: ModelConfig):
                   qkv_bias=cfg.qkv_bias, drop=cfg.drop_rate,
                   attn_drop=cfg.attn_drop_rate, drop_path=dps[i],
                   layer_norm_eps=cfg.layer_norm_eps, attention=kind,
-                  window_size=cfg.window_size, dtype=dtype, name=f"block{i}"))
+                  window_size=cfg.window_size,
+                  # the reference's GLOBAL blocks carry a full-sequence
+                  # relative position bias table too
+                  # (model_window/model/HTR_VT.py:23-31,44-47)
+                  rel_bias_len=cfg.num_tokens,
+                  dtype=dtype, name=f"block{i}"))
     return blocks
 
 
@@ -198,10 +203,14 @@ VARIANT_PRESETS = {
     # SVTRLGMixer defaults: num_local=3 + num_global=3, window (7,11) -> 1-D
     # width 11 at H=1 (svtr_mixing.py:142-158).
     "lgp_svtr": dict(depth=6, num_window_blocks=3, window_size=11),
-    "conformer": {},
+    # The conformer/squeezeformer references apply patch_embed directly to
+    # the raw image — no parameterless input LN (model_sgm_mms_conv/model/
+    # HTR_VT.py:617-622 forward_features; round-5 parity fix). Logit LN and
+    # the fixed sin-cos pos embed stay.
+    "conformer": dict(input_layer_norm=False),
     # drop_path_total=0.1 (reference create_model default drop_path,
     # model_sgm_mms_conv_squeeze/model/HTR_VT.py:552).
-    "squeezeformer": dict(drop_path_rate=0.1),
+    "squeezeformer": dict(drop_path_rate=0.1, input_layer_norm=False),
     "van": dict(stem="van"),
     "van2": dict(stem="van2"),
     "swin": {},

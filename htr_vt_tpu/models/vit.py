@@ -103,6 +103,12 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     quant: bool = False
     attn_impl: str = "auto"
+    # Learned relative position bias over the full sequence, a (2L-1, H)
+    # table indexed by token distance — the reference's GLOBAL blocks in
+    # model_window carry one too (model_window/model/HTR_VT.py:23-31,44-47:
+    # every Attention owns a table sized by num_patches, and the non-window
+    # blocks apply it over the whole sequence). 0 = off (model_v1 behavior).
+    rel_bias_len: int = 0
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -112,12 +118,29 @@ class Attention(nn.Module):
         qkv = QDense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                      quant=self.quant, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        bias = None
+        if self.rel_bias_len:
+            if n > self.rel_bias_len:
+                raise ValueError(f"sequence length {n} exceeds rel_bias_len "
+                                 f"{self.rel_bias_len}")
+            table = self.param("rel_bias",
+                               nn.initializers.zeros,
+                               (2 * self.rel_bias_len - 1, self.num_heads))
+            # reference convention: index [i, j] = (j - i) + L - 1
+            # (model_window/model/HTR_VT.py:28-31)
+            rel = (jnp.arange(n)[None, :] - jnp.arange(n)[:, None]
+                   + self.rel_bias_len - 1)
+            bias = table[rel].transpose(2, 0, 1)[None]  # [1, H, n, n]
         impl = resolve_attn_impl(self.attn_impl, n, head_dim,
-                                 fused=self.attn_drop > 0 and not deterministic)
+                                 fused=(self.attn_drop > 0
+                                        and not deterministic)
+                                 or bias is not None)
         mha = flash_mha if impl == "flash" else multi_head_attention
+        kw = {} if bias is None else {"bias": bias}
         out = mha(
             _split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
-            _split_heads(v, self.num_heads), scale=head_dim**-0.5, out_dtype=self.dtype)
+            _split_heads(v, self.num_heads), scale=head_dim**-0.5,
+            out_dtype=self.dtype, **kw)
         out = QDense(c, dtype=self.dtype, quant=self.quant, name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
@@ -142,6 +165,13 @@ class WindowAttention1D(nn.Module):
     qkv_bias: bool = True
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    # Reference-faithful shifted windows allow wrap-around pairs: after the
+    # cyclic roll the last window freely mixes sequence head and tail — the
+    # reference masks only PAD keys, never cross-boundary pairs
+    # (model_window/model/HTR_VT.py:133-154). False adds the Swin-style
+    # segment mask that keeps attention strictly local (a documented
+    # improvement over the reference, off by default for checkpoint parity).
+    wrap_shift: bool = True
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -159,7 +189,8 @@ class WindowAttention1D(nn.Module):
         # Learned relative position bias over [-w+1, w-1].
         table = self.param("rel_bias", nn.initializers.truncated_normal(0.02),
                            (2 * w - 1, self.num_heads))
-        rel = jnp.arange(w)[:, None] - jnp.arange(w)[None, :] + (w - 1)
+        # reference convention: index [i, j] = (j - i) + w - 1
+        rel = jnp.arange(w)[None, :] - jnp.arange(w)[:, None] + (w - 1)
         bias = table[rel]  # [w, w, H]
         bias = bias.transpose(2, 0, 1)[None]  # [1, H, w, w]
 
@@ -176,7 +207,7 @@ class WindowAttention1D(nn.Module):
             return t.reshape(-1, w, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         mask = None
-        if shift:
+        if shift and not self.wrap_shift:
             # After a cyclic roll the last window mixes sequence head and tail;
             # Swin masks cross-boundary pairs so attention stays local.
             win_id = jnp.arange(n_pad) // w
@@ -224,6 +255,7 @@ class Block(nn.Module):
     quant: bool = False
     quick_gelu: bool = False
     attn_impl: str = "auto"
+    rel_bias_len: int = 0  # global-attention rel-pos bias (Attention)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -233,7 +265,8 @@ class Block(nn.Module):
         if self.attention == "global":
             attn = Attention(self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
                              dtype=self.dtype, quant=self.quant,
-                             attn_impl=self.attn_impl, name="attn")
+                             attn_impl=self.attn_impl,
+                             rel_bias_len=self.rel_bias_len, name="attn")
         elif self.attention in ("window", "window_shifted"):
             attn = WindowAttention1D(self.num_heads, self.window_size,
                                      shift=self.attention == "window_shifted",

@@ -83,7 +83,7 @@ def reference_state_dict_to_tree(sd: Dict[str, np.ndarray]):
                 name, attr = rest.split(".")
                 _set(params, (blk, name, "scale" if attr == "weight" else "bias"),
                      sd[key])
-            elif rest.startswith("attn."):
+            elif rest.startswith("attn.") and rest.count(".") == 2:
                 _, lin, attr = rest.split(".")
                 val = _lin(sd[key]) if attr == "weight" else sd[key]
                 _set(params, (blk, "attn", lin, "kernel" if attr == "weight" else "bias"), val)
