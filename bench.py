@@ -129,6 +129,9 @@ def main() -> None:
 
         def bench_infer(quant, width=512):
             import dataclasses
+            import sys
+            print(f"# bench_infer {quant} w={width} ...",
+                  file=sys.stderr, flush=True)
             mcfg = dataclasses.replace(cfg.model, quant=quant,
                                        img_size=(64, width),
                                        quant_stage1_pad=256 if quant == "int8"

@@ -32,7 +32,8 @@ class NgramScorer:
     native library is unavailable.
     """
 
-    def __init__(self, arpa_path: str):
+    def __init__(self, arpa_path: str, auto_compile: bool = True):
+        import os
         # Fail loudly on kenlm's own binary format (the reference loads both
         # ARPA and kenlm .bin, model_window/test_with_kenlm.py:21-23; .bin is
         # a private format we deliberately do not blind-replicate) instead of
@@ -46,6 +47,22 @@ class NgramScorer:
                 "keep the .arpa that build_binary consumed) and optionally "
                 "compile it with `python -m htr_vt_tpu.decode.lm_compile "
                 "model.arpa model.htlm` for fast loading.")
+        # One-command UX (round-4 verdict #9): loading ARPA text auto-caches
+        # the compiled sibling `<file>.htlm` and reuses it while fresh, so
+        # every --arpa entry point gets binary-speed loads after the first
+        # run without a separate lm_compile step.
+        compiled_cache = None
+        if auto_compile and not head.startswith(BINARY_MAGIC):
+            cache = arpa_path + ".htlm"
+            try:
+                if (os.path.exists(cache)
+                        and os.path.getmtime(cache)
+                        >= os.path.getmtime(arpa_path)):
+                    arpa_path = cache
+                else:
+                    compiled_cache = cache
+            except OSError:
+                pass
         self._lib = load_native()
         self._handle = None
         self._py = None
@@ -53,6 +70,11 @@ class NgramScorer:
             self._handle = self._lib.htrvt_ngram_load(arpa_path.encode())
         if not self._handle:
             self._py = _PythonArpa(arpa_path)
+        if compiled_cache is not None:
+            try:
+                self.save_binary(compiled_cache)
+            except (IOError, OSError):
+                pass  # read-only dir etc. — cache is best-effort
 
     def save_binary(self, path: str) -> None:
         """Compile this model to the .htlm binary format: bit-identical

@@ -519,3 +519,28 @@ def test_kenlm_binary_rejected_with_guidance(tmp_path):
                      + b"\x00" * 64)
     with pytest.raises(ValueError, match="kenlm binary.*lm_compile"):
         NgramScorer(str(fake))
+
+
+def test_arpa_auto_compiles_htlm_cache(tmp_path):
+    """Loading ARPA text auto-writes `<file>.htlm` and reuses it while fresh
+    (round-5 UX: one-command fast loads at every --arpa entry point)."""
+    import os
+
+    from htr_vt_tpu.decode.lm import BINARY_MAGIC, NgramScorer
+    arpa = str(tmp_path / "m.arpa")
+    with open(arpa, "w") as f:
+        f.write(ARPA)
+    s1 = NgramScorer(arpa)
+    cache = arpa + ".htlm"
+    assert os.path.exists(cache)
+    with open(cache, "rb") as f:
+        assert f.read(len(BINARY_MAGIC)) == BINARY_MAGIC
+    # second load goes through the cache and scores identically
+    s2 = NgramScorer(arpa)
+    for text in ("the cat", "a b c", "hello"):
+        assert abs(s1.score(text) - s2.score(text)) < 1e-6
+    # stale cache (older than the ARPA) is rebuilt, not trusted
+    os.utime(cache, (1, 1))
+    mtime_before = os.path.getmtime(cache)
+    NgramScorer(arpa)
+    assert os.path.getmtime(cache) > mtime_before

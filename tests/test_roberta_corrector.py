@@ -99,3 +99,98 @@ def test_cli_infer_llm_correct_path(tiny_roberta_dir, tmp_path):
                 "--llm-correct", tiny_roberta_dir, "--quant", "int8", *common]
     from htr_vt_tpu.cli.infer import main as infer_main
     infer_main()
+
+
+class _StubTokenizer:
+    """Word-level tokenizer stub exposing exactly the surface
+    RobertaCorrector touches: __call__ -> {"input_ids"}, mask_token,
+    mask_token_id, decode. Ids: 0=BOS, 1=EOS, 2=<mask>, 3+=word ids."""
+
+    mask_token = "<mask>"
+    mask_token_id = 2
+
+    def __init__(self):
+        self.vocab = {"<s>": 0, "</s>": 1, "<mask>": 2}
+        self.inv = {0: "<s>", 1: "</s>", 2: "<mask>"}
+
+    def _id(self, w):
+        if w not in self.vocab:
+            i = len(self.vocab)
+            self.vocab[w] = i
+            self.inv[i] = w
+        return self.vocab[w]
+
+    def __call__(self, text, return_tensors="pt"):
+        import torch
+        ids = [0] + [self._id(w) for w in text.split()] + [1]
+        return {"input_ids": torch.tensor([ids])}
+
+    def decode(self, ids):
+        return " ".join(self.inv[int(i)] for i in ids)
+
+
+class _StubModel:
+    """At every <mask> position emits a distribution concentrated on a
+    configured target id with configured confidence; elsewhere uniform."""
+
+    def __init__(self, vocab_size, target_id, confidence):
+        self.vocab_size = vocab_size
+        self.target_id = target_id
+        self.confidence = confidence
+
+    def __call__(self, input_ids=None, **kw):
+        import torch
+        ids = input_ids if input_ids is not None else kw["input_ids"]
+        n = ids.shape[1]
+        v = self.vocab_size
+        rest = (1.0 - self.confidence) / (v - 1)
+        probs = torch.full((1, n, v), rest)
+        probs[:, :, self.target_id] = self.confidence
+        out = type("O", (), {})()
+        out.logits = probs.log()
+        return out
+
+
+def _stub_corrector(target_word, confidence, threshold=0.8):
+    from htr_vt_tpu.decode.lm import RobertaCorrector
+    c = RobertaCorrector.__new__(RobertaCorrector)
+    tok = _StubTokenizer()
+    tid = tok._id(target_word)
+    c.tokenizer = tok
+    c.model = _StubModel(vocab_size=64, target_id=tid, confidence=confidence)
+    c.device = "cpu"
+    c.threshold = threshold
+    return c
+
+
+def test_correct_replaces_oov_word_when_confident():
+    """The mask-and-fill contract (model_window/test_with_llm.py:17-157):
+    OOV words are masked and replaced by the MLM's argmax iff its confidence
+    clears the threshold; in-vocabulary words are never touched."""
+    c = _stub_corrector("hello", confidence=0.95, threshold=0.8)
+    vocab = {"the", "cat", "hello"}
+    assert c.correct("the hxllo cat", vocabulary=vocab) == "the hello cat"
+    # in-vocab words untouched even though the model would predict 'hello'
+    assert c.correct("the cat", vocabulary=vocab) == "the cat"
+
+
+def test_correct_keeps_oov_word_below_threshold():
+    c = _stub_corrector("hello", confidence=0.5, threshold=0.8)
+    vocab = {"the", "cat"}
+    assert c.correct("the hxllo cat", vocabulary=vocab) == "the hxllo cat"
+
+
+def test_correct_without_vocabulary_is_identity():
+    c = _stub_corrector("hello", confidence=0.99)
+    assert c.correct("anything at all") == "anything at all"
+
+
+def test_rescore_orders_by_pseudo_log_likelihood():
+    """rescore sorts candidates by the masked pseudo-LL; with the stub's
+    distribution every token position scores log(conf) when the token IS the
+    target and log(rest) otherwise, so candidates containing the target word
+    more often score strictly higher."""
+    c = _stub_corrector("hello", confidence=0.9)
+    ranked = c.rescore(["hello hello", "hello world", "foo bar"])
+    assert [r[0] for r in ranked] == ["hello hello", "hello world", "foo bar"]
+    assert ranked[0][1] > ranked[1][1] > ranked[2][1]
