@@ -115,6 +115,18 @@ def _extended(labels: jax.Array, label_lengths: jax.Array, blank: int):
     return z, noskip, valid, start2, endm
 
 
+#: scoped-VMEM budget for one grid step's working set (16 MB stack, minus
+#: headroom for the masks rows and compiler temporaries)
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def max_pallas_cells() -> int:
+    """Largest T*S the recursions can run at, at batch-tile 1: the kernel
+    holds lp + alpha cubes (x2 each for pipelining double-buffering) in
+    VMEM. Above this ctc_loss_auto takes the scan recursion."""
+    return _VMEM_BUDGET // (4 * 4)
+
+
 def _run_recursion(kernel, lp, masks, tile_b: int):
     b, t, s = lp.shape
     grid = (b // tile_b,)
@@ -130,9 +142,14 @@ def _run_recursion(kernel, lp, masks, tile_b: int):
     )(lp, *masks)
 
 
-def _pick_tile(b: int) -> int:
+def _pick_tile(b: int, t: int = 0, s: int = 0) -> int:
+    """Largest batch tile whose VMEM working set (lp + alpha cubes, x2
+    double-buffering) fits the scoped budget. The round-4 cliff — compile
+    VMEM OOM at T=512 x S=225 (the 2048-px bucket) — was the FIXED tile of
+    8; shape-aware tiling runs those shapes at tb 1-4 instead of falling
+    back to the 127-step scan (round-5 verdict #7)."""
     for tb in (8, 4, 2, 1):
-        if b % tb == 0:
+        if b % tb == 0 and tb * max(1, t * s) * 4 * 4 <= _VMEM_BUDGET:
             return tb
     return 1
 
@@ -153,7 +170,8 @@ def _partitioned_recursion(kernel):
     from jax.sharding import PartitionSpec as P
 
     def impl(lp, m1, m2, m3):
-        return _run_recursion(kernel, lp, (m1, m2, m3), _pick_tile(lp.shape[0]))
+        return _run_recursion(kernel, lp, (m1, m2, m3),
+                              _pick_tile(*lp.shape))
 
     fn = custom_partitioning(impl)
 
