@@ -136,15 +136,15 @@ def ctc_loss_auto(logits, labels, label_lengths, blank: int = 0) -> jax.Array:
     pipeline always emits T frames per sample)."""
     T = logits.shape[1]
     S = 2 * labels.shape[1] + 1
-    # The Pallas kernels hold [TB, T, S] lp/alpha cubes in VMEM. The round-4
-    # 64k cliff (compile-time VMEM OOM at the 2048-px bucket's T=512 x
-    # S=225) was the FIXED batch tile of 8; the tile is shape-aware now
-    # (ctc_pallas._pick_tile), so the kernel runs up to ~786k cells at
-    # batch-tile 1 (measured at T=512, S=225: kernel 11.6 ms vs scan 180 ms
-    # per fwd+bwd, values/grads equal — round-5 verdict #7). Only truly
-    # enormous T*S fall back to the scan.
+    # The round-4 64k T*S cliff (compile-time VMEM OOM at the 2048-px
+    # bucket's T=512 x S=225) is gone: the kernels panel the TIME axis over
+    # a sequential grid dimension with the alpha/beta carry in VMEM scratch
+    # (ctc_pallas.py), so any HTR shape runs the kernel; only a pathological
+    # label length (S > ~90k) would fall back to the scan. Measured at the
+    # 2048-px bucket shape (B=64, T=512, S=225): kernel 4.9 ms vs scan
+    # 126.8 ms per fwd+bwd, losses/grads equal to f32 recursion tolerance.
     if jax.default_backend() == "tpu":
-        from htr_vt_tpu.ops.ctc_pallas import ctc_loss_pallas, max_pallas_cells
-        if T * S <= max_pallas_cells():
+        from htr_vt_tpu.ops.ctc_pallas import ctc_loss_pallas, pallas_supported
+        if pallas_supported(T, S):
             return ctc_loss_pallas(logits, labels, label_lengths, blank)
     return ctc_loss(logits, labels, label_lengths, blank=blank)

@@ -52,15 +52,17 @@ def _shift_lanes_left(x: jax.Array, k: int) -> jax.Array:
     return jnp.where(lane >= x.shape[1] - k, NEG, rolled)
 
 
-def _alpha_kernel(lp_ref, noskip_ref, valid_ref, start2_ref, alpha_ref):
-    """lp [TB,T,S]; noskip/valid/start2 [TB,S] (1.0 = true); alpha out [TB,T,S]."""
-    t_total = lp_ref.shape[1]
+def _alpha_kernel(lp_ref, noskip_ref, valid_ref, start2_ref, alpha_ref,
+                  carry_ref):
+    """lp [TB,TP,S] (one time panel); noskip/valid/start2 [TB,S]; alpha out
+    [TB,TP,S]. The time axis is PANELED over the minor grid dimension (grid
+    iteration on TPU is sequential), with the running alpha row carried in
+    VMEM scratch across panels — this removes the round-4 VMEM cliff where
+    the whole [TB, T, S] cube had to fit at once (round-5 verdict #7)."""
+    j = pl.program_id(1)
+    tp = lp_ref.shape[1]
     noskip = noskip_ref[:] > 0.5
     invalid = valid_ref[:] < 0.5
-
-    alpha0 = jnp.where(start2_ref[:] > 0.5, lp_ref[:, 0, :], NEG)
-    alpha0 = jnp.where(invalid, NEG, alpha0)
-    alpha_ref[:, 0, :] = alpha0
 
     def body(t, alpha):
         lp_t = lp_ref[:, t, :]
@@ -71,34 +73,58 @@ def _alpha_kernel(lp_ref, noskip_ref, valid_ref, start2_ref, alpha_ref):
         alpha_ref[:, t, :] = new
         return new
 
-    jax.lax.fori_loop(1, t_total, body, alpha0)
+    @pl.when(j == 0)
+    def _():
+        alpha0 = jnp.where(start2_ref[:] > 0.5, lp_ref[:, 0, :], NEG)
+        alpha0 = jnp.where(invalid, NEG, alpha0)
+        alpha_ref[:, 0, :] = alpha0
+        carry_ref[:] = jax.lax.fori_loop(1, tp, body, alpha0)
+
+    @pl.when(j > 0)
+    def _():
+        carry_ref[:] = jax.lax.fori_loop(0, tp, body, carry_ref[:])
 
 
-def _beta_kernel(lp_ref, noskip_ref, valid_ref, end_ref, beta_ref):
-    """Backward recursion; beta excludes the emission at its own frame.
-    end [TB,S]: 1.0 at the two final states (2*len, 2*len-1)."""
-    t_total = lp_ref.shape[1]
+def _beta_kernel(lp_ref, noskip_ref, valid_ref, end_ref, beta_ref,
+                 carry_ref):
+    """Backward recursion, paneled over time in REVERSE panel order (the
+    index maps feed panel j = the (nt-1-j)-th time slab); beta excludes the
+    emission at its own frame. end [TB,S]: 1.0 at the two final states.
+
+    The carry holds ``term = beta[t0] + lp[t0]`` of the panel's first row,
+    so the next (earlier) panel never reads this panel's lp block."""
+    j = pl.program_id(1)
+    tp = lp_ref.shape[1]
     # Skip OUT of s lands in s+2 and is allowed iff noskip[s+2] is false.
     noskip = noskip_ref[:] > 0.5
     invalid = valid_ref[:] < 0.5
 
-    beta_last = jnp.where(end_ref[:] > 0.5, 0.0, NEG)
-    beta_last = jnp.where(invalid, NEG, beta_last)
-    beta_ref[:, t_total - 1, :] = beta_last
-
-    def body(i, beta):
-        t = t_total - 2 - i
-        lp_next = lp_ref[:, t + 1, :]
-        term = beta + lp_next  # arrive in state s' at t+1
-        b0 = term
+    def from_term(term):
         b1 = _shift_lanes_left(term, 1)
         b2 = _shift_lanes_left(jnp.where(noskip, NEG, term), 2)
-        new = _logaddexp3(b0, b1, b2)
-        new = jnp.where(invalid, NEG, new)
+        return jnp.where(invalid, NEG, _logaddexp3(term, b1, b2))
+
+    def body(i, beta):
+        t = tp - 2 - i
+        term = beta + lp_ref[:, t + 1, :]  # arrive in state s' at t+1
+        new = from_term(term)
         beta_ref[:, t, :] = new
         return new
 
-    jax.lax.fori_loop(0, t_total - 1, body, beta_last)
+    @pl.when(j == 0)
+    def _():
+        beta_last = jnp.where(end_ref[:] > 0.5, 0.0, NEG)
+        beta_last = jnp.where(invalid, NEG, beta_last)
+        beta_ref[:, tp - 1, :] = beta_last
+        beta0 = jax.lax.fori_loop(0, tp - 1, body, beta_last)
+        carry_ref[:] = beta0 + lp_ref[:, 0, :]
+
+    @pl.when(j > 0)
+    def _():
+        top = from_term(carry_ref[:])
+        beta_ref[:, tp - 1, :] = top
+        beta0 = jax.lax.fori_loop(0, tp - 1, body, top)
+        carry_ref[:] = beta0 + lp_ref[:, 0, :]
 
 
 def _extended(labels: jax.Array, label_lengths: jax.Array, blank: int):
@@ -120,36 +146,50 @@ def _extended(labels: jax.Array, label_lengths: jax.Array, blank: int):
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def max_pallas_cells() -> int:
-    """Largest T*S the recursions can run at, at batch-tile 1: the kernel
-    holds lp + alpha cubes (x2 each for pipelining double-buffering) in
-    VMEM. Above this ctc_loss_auto takes the scan recursion."""
-    return _VMEM_BUDGET // (4 * 4)
+def pallas_supported(t: int, s: int) -> bool:
+    """The time axis is paneled (``_panel_len``), so T is unbounded; the
+    only VMEM constraint left is that ONE time row per batch tile fits:
+    tile_b x 1 x S (x2 lp/out x2 double-buffering). S = 2L+1 <= ~90k —
+    every conceivable HTR label length qualifies."""
+    return 8 * s * 4 * 4 <= _VMEM_BUDGET
 
 
-def _run_recursion(kernel, lp, masks, tile_b: int):
+def _panel_len(t: int, s: int, tile_b: int) -> int:
+    """Largest divisor of t whose per-panel working set (lp + out panels,
+    x2 pipelining double-buffering) fits the scoped-VMEM budget."""
+    tp = t
+    while tp > 1 and tile_b * tp * s * 4 * 4 > _VMEM_BUDGET:
+        # t is a token count (W/4) — even at every HTR shape; halving
+        # terminates at 1 regardless.
+        tp = tp // 2 if tp % 2 == 0 else 1
+    return max(1, tp)
+
+
+def _run_recursion(kernel, lp, masks, tile_b: int, reverse_time: bool):
     b, t, s = lp.shape
-    grid = (b // tile_b,)
-    row_spec = pl.BlockSpec((tile_b, s), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    cube_spec = pl.BlockSpec((tile_b, t, s), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
+    tp = _panel_len(t, s, tile_b)
+    nt = t // tp
+    if reverse_time:
+        idx = lambda i, j: (i, nt - 1 - j, 0)
+    else:
+        idx = lambda i, j: (i, j, 0)
+    grid = (b // tile_b, nt)
+    row_spec = pl.BlockSpec((tile_b, s), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    cube_spec = pl.BlockSpec((tile_b, tp, s), idx, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[cube_spec, row_spec, row_spec, row_spec],
         out_specs=cube_spec,
         out_shape=jax.ShapeDtypeStruct((b, t, s), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tile_b, s), jnp.float32)],
     )(lp, *masks)
 
 
-def _pick_tile(b: int, t: int = 0, s: int = 0) -> int:
-    """Largest batch tile whose VMEM working set (lp + alpha cubes, x2
-    double-buffering) fits the scoped budget. The round-4 cliff — compile
-    VMEM OOM at T=512 x S=225 (the 2048-px bucket) — was the FIXED tile of
-    8; shape-aware tiling runs those shapes at tb 1-4 instead of falling
-    back to the 127-step scan (round-5 verdict #7)."""
+def _pick_tile(b: int) -> int:
     for tb in (8, 4, 2, 1):
-        if b % tb == 0 and tb * max(1, t * s) * 4 * 4 <= _VMEM_BUDGET:
+        if b % tb == 0:
             return tb
     return 1
 
@@ -171,7 +211,8 @@ def _partitioned_recursion(kernel):
 
     def impl(lp, m1, m2, m3):
         return _run_recursion(kernel, lp, (m1, m2, m3),
-                              _pick_tile(*lp.shape))
+                              _pick_tile(lp.shape[0]),
+                              reverse_time=kernel is _beta_kernel)
 
     fn = custom_partitioning(impl)
 

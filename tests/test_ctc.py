@@ -164,3 +164,44 @@ def test_ctc_pallas_sharded_interpret_matches_scan():
                                    rtol=1e-4, atol=1e-6)
     finally:
         cp.pl.pallas_call = orig
+
+
+def test_ctc_pallas_time_paneling_past_the_64k_cliff():
+    """Round-5 verdict #7: the 2048-px bucket shape (T=512, S=225; T*S=115k)
+    overflowed the round-4 kernels' whole-cube VMEM residency and silently
+    fell back to the scan. The kernels now panel the time axis over a
+    sequential grid dim with the alpha/beta carry in scratch; this pins (a)
+    the auto gate routes such shapes to Pallas, and (b) interpret-mode
+    values/grads match the scan at a multi-panel shape."""
+    import numpy as np
+
+    from htr_vt_tpu.ops import ctc_pallas as cp
+    from htr_vt_tpu.ops.ctc import ctc_loss
+
+    assert cp.pallas_supported(512, 225)
+    assert cp.pallas_supported(2048, 451)
+
+    # force multi-panel even at a CPU-sized problem
+    orig_budget = cp._VMEM_BUDGET
+    orig_call = cp.pl.pallas_call
+    cp._VMEM_BUDGET = 8 * 4 * 49 * 16  # fits tp=4 exactly -> 4-step panels
+    cp.pl.pallas_call = lambda *a, **k: orig_call(*a, **{**k,
+                                                         "interpret": True})
+    try:
+        assert cp._panel_len(16, 49, 8) == 4
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.standard_normal((8, 16, 12)), jnp.float32)
+        labels = jnp.asarray(rng.integers(1, 12, (8, 5)), jnp.int32)
+        lens = jnp.asarray(rng.integers(1, 6, (8,)), jnp.int32)
+        lp = cp.ctc_loss_pallas(logits, labels, lens)
+        ls = ctc_loss(logits, labels, lens)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(ls),
+                                   rtol=1e-5, atol=1e-5)
+        gp = jax.grad(lambda lg: jnp.sum(cp.ctc_loss_pallas(
+            lg, labels, lens)))(logits)
+        gs = jax.grad(lambda lg: jnp.sum(ctc_loss(lg, labels, lens)))(logits)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        cp._VMEM_BUDGET = orig_budget
+        cp.pl.pallas_call = orig_call
