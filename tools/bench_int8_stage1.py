@@ -49,13 +49,20 @@ def main():
         x = jnp.asarray(rng.standard_normal((B, H, W, Ci)), jnp.bfloat16)
         w = jnp.asarray(rng.standard_normal((3, 3, Ci, Co)) * 0.05,
                         jnp.bfloat16)
+        # optimization_barrier between the conv and the reduce: without it
+        # XLA strength-reduces sum(conv(x, w)) into a cheap scalar fusion
+        # and the "conv" timings are fiction (round-5 finding: the round-4
+        # numbers from this tool measured a reduce, not the conv; the
+        # in-model bench_infer measurements are authoritative).
         if kind == "bf16":
-            fn = jax.jit(lambda x, w: jnp.sum(jax.lax.conv_general_dilated(
-                x, w, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            fn = jax.jit(lambda x, w: jnp.sum(jax.lax.optimization_barrier(
+                jax.lax.conv_general_dilated(
+                    x, w, (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")))
                 .astype(jnp.float32)))
         else:
-            fn = jax.jit(lambda x, w: jnp.sum(conv_int8(x, w)))
+            fn = jax.jit(lambda x, w: jnp.sum(
+                jax.lax.optimization_barrier(conv_int8(x, w))))
         flops = 2 * B * H * W * Ci * Co * 9
         cases.append((name, fn, (x, w), flops))
 
